@@ -1,0 +1,482 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""CLOUDSC2 nonlinear scheme, TPU-native formulation.
+
+JAX re-implementation of the reference ``cloudsc2_nl`` gtscript stencil
+(``src/cloudsc2_gt4py/physics/nonlinear/_stencils/cloudsc2.py:24-399``) and
+its component wrapper (``physics/nonlinear/microphysics.py:43-172``).
+
+Design (TPU-first, not a translation):
+
+* Arrays are laid out ``(nlev, ncols)`` — columns on the lane dimension,
+  levels on the scan dimension.  The dummy ``J`` axis of the reference is
+  dropped.
+* The strict top-down recurrence of the scheme (rain/snow fluxes, maximum
+  precipitation overlap, melted snow feeding the next level) is expressed as
+  a ``jax.lax.scan`` over levels with a small carried state
+  ``(rfl, sfl, covptot)`` — the analogue of the reference's 2-D ``tmp_*``
+  fields (``microphysics.py:131-133``).
+* Per-column branches become ``jnp.where`` selections with guarded operands
+  (safe denominators / sqrt arguments) so that no lane ever produces NaN and
+  ``jax.jvp`` / ``jax.vjp`` of this function remain well defined.
+* All physics constants are static Python scalars
+  (:class:`cloudsc2_tpu.params.Constants`) closed over at trace time — the
+  XLA analogue of GT4Py compile-time externals.
+
+The per-level body :func:`nl_level` additionally returns the full set of
+intermediate quantities (``aux``).  The hand-written adjoint
+(:mod:`cloudsc2_tpu.physics.adjoint`) re-invokes the body during its reverse
+sweep to regenerate the trajectory from the tiny carried state, instead of
+materializing ~35 full 3-D temporaries the way the reference does
+(``physics/adjoint/_stencils/cloudsc2.py:133-476``) — an O(nlev) memory
+saving that keeps the reverse pass HBM-light.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.physics import fcttre
+from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_nl
+
+Array = jnp.ndarray
+
+
+class NLCarry(NamedTuple):
+    """State carried down the vertical scan (reference ``tmp_*`` IJ fields)."""
+
+    rfl: Array  # rain flux entering the level from above
+    sfl: Array  # snow flux entering the level from above
+    covptot: Array  # running maximum-overlap precipitation cover
+
+
+def tropopause_eta(eta: Array, t_fg: Array) -> Array:
+    """Tropopause eta per column (reference ``cloudsc2.py:106-111``).
+
+    Forward-scan semantics: the *last* level ``k`` (largest eta) with
+    ``0.1 < eta[k] < 0.4`` and ``t[k] > t[k+1]`` wins; default 0.1.
+    """
+    nlev = eta.shape[0]
+    window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)  # (nlev-1,)
+    mask = window[:, None] & (t_fg[:-1] > t_fg[1:])  # (nlev-1, ncols)
+    ks = jnp.arange(nlev - 1, dtype=jnp.int32)[:, None]
+    best = jnp.max(jnp.where(mask, ks, -1), axis=0)  # (ncols,)
+    return jnp.where(best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, eta.dtype))
+
+
+def critical_rh(eta_k: Array, trpaus: Array) -> Array:
+    """Critical relative-humidity profile (reference ``cloudsc2.py:166-186``)."""
+    rh1 = 1.0
+    rh2 = (
+        0.35
+        + 0.14 * ((trpaus - 0.25) / 0.15) ** 2.0
+        + 0.04 * jnp.minimum(trpaus - 0.25, 0.0) / 0.15
+    )
+    rh3 = 1.0
+    deta2 = 0.3
+    deta1 = 0.09 + 0.16 * (0.4 - trpaus) / 0.3
+    sq = jnp.sqrt(jnp.maximum((1.0 - eta_k) / deta1, 0.0))
+    return jnp.where(
+        eta_k < trpaus,
+        rh3,
+        jnp.where(
+            eta_k < trpaus + deta2,
+            rh3 + (rh2 - rh3) * (eta_k - trpaus) / deta2,
+            jnp.where(eta_k < 1.0 - deta1, rh2, rh1 + (rh2 - rh1) * sq),
+        ),
+    )
+
+
+def nl_level(
+    carry: NLCarry,
+    x: Dict[str, Array],
+    aph_s: Array,
+    trpaus: Array,
+    dt: float,
+    c: Constants,
+) -> Tuple[NLCarry, Dict[str, Array], Dict[str, Array]]:
+    """One vertical level of the nonlinear scheme.
+
+    ``x`` holds the per-level slices: ``ap, aph0, aph1, lu_next, lude, mfd,
+    mfu, q, qi, ql, qsat, supsat, t_fg, tnd_cml_q, tnd_cml_qi, tnd_cml_ql``
+    plus the per-level scalars ``eta`` and ``scalm``.
+
+    Returns ``(carry_out, outs, aux)``; ``aux`` carries every intermediate
+    the hand-written adjoint needs for its reverse sweep.
+    """
+    rfl, sfl, covptot = carry
+    ap = x["ap"]
+    qsat_in = x["qsat"]
+    aux: Dict[str, Array] = {}
+
+    # first-guess state (reference :102-104, :113-117)
+    t = x["t_fg"]
+    q = x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
+    ql = x["ql"] + dt * x["tnd_cml_ql"]
+    qi = x["qi"] + dt * x["tnd_cml_qi"]
+    aux["t2"], aux["q2"], aux["ql"], aux["qi"] = t, q, ql, qi
+
+    # constants (reference :119-127)
+    ckcodtl = 2.0 * c.RKCONV * dt
+    ckcodti = 5.0 * c.RKCONV * dt
+    cons2 = 1.0 / (c.RG * dt)
+    cons3 = c.RLVTT / c.RCPD
+    meltp2 = c.RTT + 2.0
+    scalm = x["scalm"]
+
+    # thermodynamic coefficients (reference :129-134)
+    dp = x["aph1"] - x["aph0"]
+    zz = c.RCPD + c.RCPD * c.RVTMP2 * q
+    lfdcp = c.RLMLT / zz
+    lsdcp = c.RLSTT / zz
+    lvdcp = c.RLVTT / zz
+    aux.update(dp=dp, zz=zz, lfdcp=lfdcp, lsdcp=lsdcp, lvdcp=lvdcp)
+
+    # dqs/dT correction factor (reference :140-160); LPHYLIN/LDRAIN1D static
+    if c.LPHYLIN or c.LDRAIN1D:
+        cold = t < c.RTT
+        fwat = jnp.where(cold, 0.545 * (jnp.tanh(0.17 * (t - c.RLPTRC)) + 1.0), 1.0)
+        z3es = jnp.where(cold, c.R3IES, c.R3LES)
+        z4es = jnp.where(cold, c.R4IES, c.R4LES)
+        foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) / (t - z4es))
+        esdp1 = foeew / ap
+        esdp = jnp.minimum(esdp1, c.ZQMAX)
+    else:
+        fwat = fcttre.foealfa(t, c)
+        foeew = fcttre.foeewm(t, c)
+        esdp1 = foeew / ap
+        esdp = esdp1
+    facw = c.R5LES / (t - c.R4LES) ** 2.0
+    faci = c.R5IES / (t - c.R4IES) ** 2.0
+    fac = fwat * facw + (1.0 - fwat) * faci
+    cor = 1.0 / (1.0 - c.RETV * esdp)
+    dqsdtemp = fac * cor * qsat_in
+    corqs = 1.0 + cons3 * dqsdtemp
+    aux.update(
+        fwat=fwat, foeew=foeew, esdp1=esdp1, esdp=esdp, facw=facw, faci=faci,
+        fac=fac, cor=cor, dqsdtemp=dqsdtemp, corqs=corqs,
+    )
+
+    # clipped state (reference :163)
+    qlim = jnp.minimum(q, qsat_in)
+    aux["qlim"] = qlim
+
+    # critical humidity and ice supersaturation (reference :166-193)
+    crh2 = critical_rh(x["eta"], trpaus)
+    supsat_fac = jnp.where(t < c.RTICE, 1.8 - 0.003 * t, 1.0)
+    qsat = qsat_in * supsat_fac
+    qcrit = crh2 * qsat
+    aux.update(crh2=crh2, supsat_fac=supsat_fac, qsat=qsat, qcrit=qcrit)
+
+    # Letreut & Li (1990) uniform-distribution cloud cover (reference :195-207)
+    qt = q + ql + qi
+    low = qt < qcrit
+    high = qt >= qsat
+    mid = jnp.logical_not(low | high)
+    qpd = qsat - qt
+    qcd = qsat - qcrit
+    denom = qcd - scalm * (qt - qcrit)
+    denom_safe = jnp.where(mid, denom, 1.0)
+    ratio = jnp.where(mid, qpd / denom_safe, 0.0)
+    tmp3 = jnp.sqrt(ratio)
+    clc_mid = 1.0 - tmp3
+    qc_mid = (scalm * qpd + (1.0 - scalm) * qcd) * clc_mid**2.0
+    clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
+    qc = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat - qcrit), qc_mid))
+    aux.update(
+        qt=qt, low=low, high=high, mid=mid, qpd=qpd, qcd=qcd,
+        denom_safe=denom_safe, tmp3=tmp3, clc1=clc, qc1=qc,
+    )
+
+    # convective detrainment (reference :209-215)
+    gdp = c.RG / (x["aph1"] - x["aph0"])
+    lude = dt * x["lude"] * gdp
+    lu1 = x["lu_next"]
+    lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
+    lu1_safe = jnp.where(lo1, lu1, 1.0)
+    tmp2 = jnp.exp(-lude / lu1_safe)
+    clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
+    qc = jnp.where(lo1, qc + lude, qc)
+    aux.update(gdp=gdp, lude=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
+
+    # compensating subsidence (reference :217-224)
+    fac1 = 1.0 / (c.RD * t)
+    rho = ap * fac1
+    fac2 = 1.0 / (ap - c.RETV * foeew)
+    rodqsdp = -rho * qsat_in * fac2
+    ldcp = fwat * lvdcp + (1.0 - fwat) * lsdcp
+    fac3 = 1.0 / (1.0 + ldcp * dqsdtemp)
+    dtdzmo = c.RG * (1.0 / c.RCPD - ldcp * rodqsdp) * fac3
+    dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
+    fac4 = 1.0 / rho
+    sub = dt * dqsdz * (x["mfu"] + x["mfd"]) * fac4
+    lo3 = sub < qc
+    dqc = jnp.where(lo3, sub, qc)
+    qc = qc - dqc
+    aux.update(
+        fac1=fac1, rho=rho, fac2=fac2, rodqsdp=rodqsdp, ldcp=ldcp, fac3=fac3,
+        dtdzmo=dtdzmo, dqsdz=dqsdz, fac4=fac4, lo3=lo3, dqc=dqc, qc3=qc,
+    )
+
+    # new condensate and condensation rates (reference :226-230)
+    qlwc = qc * fwat
+    qiwc = qc * (1.0 - fwat)
+    condl = (qlwc - ql) / dt
+    condi = (qiwc - qi) / dt
+    aux.update(qlwc1=qlwc, qiwc1=qiwc, condl1=condl, condi1=condi)
+
+    # maximum precipitation overlap (reference :232-235)
+    covptot_in = covptot
+    covptot = jnp.maximum(covptot_in, clc)
+    covpclr1 = covptot - clc
+    covpclr = jnp.maximum(covpclr1, 0.0)
+    aux.update(covptot_in=covptot_in, covptot1=covptot, covpclr1=covpclr1, covpclr=covpclr)
+
+    # melting of incoming snow (reference :237-246)
+    melt = sfl != 0.0
+    cons = cons2 * dp / lfdcp
+    z2s = cons * jnp.maximum(t - meltp2, 0.0)
+    snmlt = jnp.minimum(sfl, z2s)
+    rfln = jnp.where(melt, rfl + snmlt, rfl)
+    sfln = jnp.where(melt, sfl - snmlt, sfl)
+    t = jnp.where(melt, t - snmlt / cons, t)
+    aux.update(melt=melt, cons=cons, z2s=z2s, snmlt=snmlt, t_melt=t)
+
+    # rain / snow autoconversion (reference :248-272)
+    act = clc > c.ZEPS2
+    if c.LEVAPLS2 or c.LDRAIN1D:
+        lcrit = 1.9 * c.RCLCRIT
+        icrit = 0.0001
+    else:
+        lcrit = 2.0 * c.RCLCRIT
+        icrit = 2.0 * c.RCLCRIT
+    clc_safe = jnp.where(act, clc, 1.0)
+    cldl = qlwc / clc_safe
+    ltmp1 = jnp.exp(-((cldl / lcrit) ** 2.0))
+    dl = ckcodtl * (1.0 - ltmp1)
+    ltmp2 = jnp.exp(-dl)
+    qlnew = clc * cldl * ltmp2
+    prr = jnp.where(act, qlwc - qlnew, 0.0)
+    qlwc = qlwc - prr
+
+    cldi = qiwc / clc_safe
+    itmp11 = jnp.exp(-((cldi / icrit) ** 2.0))
+    itmp12 = jnp.exp(0.025 * (t - c.RTT))
+    di = ckcodti * itmp12 * (1.0 - itmp11)
+    itmp2 = jnp.exp(-di)
+    qinew = clc * cldi * itmp2
+    prs = jnp.where(act, qiwc - qinew, 0.0)
+    qiwc = qiwc - prs
+    aux.update(
+        act=act, clc_safe=clc_safe, cldl=cldl, ltmp1=ltmp1, ltmp2=ltmp2,
+        cldi=cldi, itmp11=itmp11, itmp12=itmp12, itmp2=itmp2,
+        qlwc=qlwc, qiwc=qiwc, prr=prr, prs=prs,
+    )
+
+    # new precipitation and rain fraction (reference :274-285)
+    dr1 = cons2 * dp * (prr + prs)
+    coldt = t < c.RTT
+    rfreeze = jnp.where(coldt, cons2 * dp * prr, 0.0)
+    fwatr1 = jnp.where(coldt, 0.0, 1.0)
+    rfln = rfln + fwatr1 * dr1
+    sfln = sfln + (1.0 - fwatr1) * dr1
+    aux.update(dr1=dr1, coldt=coldt, rfreeze1=rfreeze, fwatr1=fwatr1, rfln2=rfln, sfln2=sfln)
+
+    # precipitation evaporation (reference :287-321); statically compiled out
+    # in the default configuration, exactly as with GT4Py externals
+    prtot = rfln + sfln
+    aux["prtot"] = prtot
+    if c.LEVAPLS2 or c.LDRAIN1D:
+        eact = (prtot > c.ZEPS2) & (covpclr > c.ZEPS2)
+        covptot_safe = jnp.where(eact, covptot, 1.0)
+        covpclr_safe = jnp.where(eact, covpclr, 1.0)
+        preclr1 = prtot * covpclr / covptot_safe
+        clcc = jnp.where(eact, 1.0 - clc, 1.0)
+        qe = qsat_in - (qsat_in - qlim) * covpclr / clcc**2.0
+        sqr = jnp.sqrt(ap / aph_s)
+        barg = jnp.where(eact, sqr / 0.00509 * preclr1 / covpclr_safe, 1.0)
+        beta = c.RG * c.RPECONS * barg**0.5777
+        b = dt * beta * (qsat_in - qe) / (1.0 + dt * beta * corqs)
+        dtgdp = dt * c.RG / (x["aph1"] - x["aph0"])
+        dpr1 = covpclr * b / dtgdp
+        dpr = jnp.where(eact, jnp.minimum(dpr1, preclr1), 0.0)
+        preclr = preclr1 - dpr
+        covptot = jnp.where(eact & (preclr <= 0.0), clc, covptot)
+        covptot_out = jnp.where(eact, covptot, 0.0)
+        prtot_safe = jnp.where(eact, prtot, 1.0)
+        evapr = jnp.where(eact, dpr * rfln / prtot_safe, 0.0)
+        evaps = jnp.where(eact, dpr * sfln / prtot_safe, 0.0)
+        rfln = rfln - evapr
+        sfln = sfln - evaps
+        aux.update(
+            eact=eact, preclr1=preclr1, qe=qe, beta=beta, b=b, dtgdp=dtgdp,
+            dpr1=dpr1, dpr=dpr, preclr=preclr, sqr=sqr, barg=barg,
+            covptot_safe=covptot_safe, covpclr_safe=covpclr_safe,
+            clcc=clcc, prtot_safe=prtot_safe,
+        )
+    else:
+        zero = jnp.zeros_like(prtot)
+        evapr = zero
+        evaps = zero
+        covptot_out = zero
+    aux.update(evapr=evapr, evaps=evaps, covptot_out=covptot_out, covptot=covptot)
+
+    # T / q tendency update and first guess (reference :323-344)
+    dqdt = -(condl + condi) + (x["lude"] + evapr + evaps) * gdp
+    tmp7 = (
+        lvdcp * evapr
+        + lsdcp * evaps
+        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        - (lsdcp - lvdcp) * rfreeze
+    )
+    dtdt = lvdcp * condl + lsdcp * condi - tmp7 * gdp
+    t3 = t + dt * dtdt
+    q = q + dt * dqdt
+    qold1 = q
+    aux.update(dqdt=dqdt, dtdt=dtdt, t3=t3, qold1=qold1)
+
+    # saturation-adjustment clipping (reference :347)
+    t, q = cuadjtqs_nl(ap, t3, q, c)
+    aux.update(t_adj=t, q_adj=q)
+
+    # post-clipping rain fraction and freezing (reference :349-364).
+    # Branch on the adjusted temperature, as in the NL (:352) and TL (:677)
+    # stencils.  (The reference AD forward recompute branches on the
+    # pre-adjustment t3 at adjoint/_stencils/cloudsc2.py:427 instead; we keep
+    # the NL/TL convention so the adjoint is the exact transpose of the TL.)
+    dq = jnp.where(qold1 >= q, qold1 - q, 0.0)
+    dr2 = cons2 * dp * dq
+    coldt2 = t < c.RTT
+    rfreeze2 = jnp.where(coldt2, fwat * dr2, 0.0)
+    fwatr2 = jnp.where(coldt2, 0.0, 1.0)
+    rn = fwatr2 * dr2
+    sn = (1.0 - fwatr2) * dr2
+    condl2 = condl + fwatr2 * dq / dt
+    condi2 = condi + (1.0 - fwatr2) * dq / dt
+    rfln = rfln + rn
+    sfln = sfln + sn
+    rfreeze3 = rfreeze + rfreeze2
+    aux.update(
+        dq=dq, dr2=dr2, coldt2=coldt2, fwatr2=fwatr2,
+        condl2=condl2, condi2=condi2, rfreeze3=rfreeze3,
+    )
+
+    # output tendencies (reference :366-380)
+    tnd_q = -(condl2 + condi2) + (x["lude"] + evapr + evaps) * gdp
+    tmp8 = (
+        lvdcp * evapr
+        + lsdcp * evaps
+        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        - (lsdcp - lvdcp) * rfreeze3
+    )
+    tnd_t = lvdcp * condl2 + lsdcp * condi2 - tmp8 * gdp
+    tnd_ql = (qlwc - ql) / dt
+    tnd_qi = (qiwc - qi) / dt
+
+    outs = {
+        "tnd_t": tnd_t,
+        "tnd_q": tnd_q,
+        "tnd_ql": tnd_ql,
+        "tnd_qi": tnd_qi,
+        "clc": clc,
+        "covptot": covptot_out,
+        "fplsl": rfln,
+        "fplsn": sfln,
+    }
+    return NLCarry(rfln, sfln, covptot), outs, aux
+
+
+def prepare_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Array]:
+    """Build the per-level scan inputs from a state dict.
+
+    ``state`` keys follow the reference field names without the ``f_``
+    prefix (see ``setup.py:48-65``): full-level ``(nlev, ncols)`` arrays
+    ``ap, lu, lude, mfd, mfu, q, qi, ql, qsat, supsat, t, tnd_cml_q,
+    tnd_cml_qi, tnd_cml_ql, tnd_cml_t``; interface ``aph`` of shape
+    ``(nlev+1, ncols)``; vertical coordinate ``eta`` of shape ``(nlev,)``.
+    """
+    lu = state["lu"]
+    eta = state["eta"]
+    zeps1 = 1e-12
+    # one-level lookahead for the detrainment source; the reference reads
+    # in_lu[0, 0, 1], which at the last level falls into the zero-initialized
+    # storage padding (cloudsc2.py:212-214) — equivalently lu_next[-1] = 0.
+    lu_next = jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0)
+    t_fg = state["t"] + dt * state["tnd_cml_t"]
+    return {
+        "ap": state["ap"],
+        "aph0": state["aph"][:-1],
+        "aph1": state["aph"][1:],
+        "lu_next": lu_next,
+        "lude": state["lude"],
+        "mfd": state["mfd"],
+        "mfu": state["mfu"],
+        "q": state["q"],
+        "qi": state["qi"],
+        "ql": state["ql"],
+        "qsat": state["qsat"],
+        "supsat": state["supsat"],
+        "t_fg": t_fg,
+        "tnd_cml_q": state["tnd_cml_q"],
+        "tnd_cml_qi": state["tnd_cml_qi"],
+        "tnd_cml_ql": state["tnd_cml_ql"],
+        "eta": eta,
+        "scalm": jnp.asarray(0.9, lu.dtype) * jnp.maximum(eta - 0.2, zeps1) ** 0.2,
+    }
+
+
+@partial(jax.jit, static_argnames=("c",))
+def cloudsc2_nl(
+    state: Dict[str, Array], dt: float, c: Constants
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Run the nonlinear CLOUDSC2 scheme over all levels.
+
+    Returns ``(tendencies, diagnostics)`` with the same fields as the
+    reference component (``microphysics.py:104-121``): tendencies
+    ``t, q, ql, qi`` of shape ``(nlev, ncols)``; diagnostics ``clc, covptot``
+    (full levels) and ``fhpsl, fhpsn, fplsl, fplsn`` (interface levels,
+    ``(nlev+1, ncols)``).
+    """
+    xs = prepare_level_inputs(state, dt)
+    ncols = state["ap"].shape[1]
+    dtype = state["ap"].dtype
+    t_fg = xs["t_fg"]
+    trpaus = tropopause_eta(state["eta"].astype(dtype), t_fg)
+    aph_s = state["aph"][-1]
+
+    def body(carry: NLCarry, x: Dict[str, Array]):
+        carry, outs, _ = nl_level(carry, x, aph_s, trpaus, dt, c)
+        return carry, outs
+
+    init = NLCarry(
+        rfl=jnp.zeros((ncols,), dtype),
+        sfl=jnp.zeros((ncols,), dtype),
+        covptot=jnp.zeros((ncols,), dtype),
+    )
+    _, ys = jax.lax.scan(body, init, xs)
+
+    zrow = jnp.zeros((1, ncols), dtype)
+    fplsl = jnp.concatenate([zrow, ys["fplsl"]], axis=0)
+    fplsn = jnp.concatenate([zrow, ys["fplsn"]], axis=0)
+    tends = {
+        "t": ys["tnd_t"],
+        "q": ys["tnd_q"],
+        "ql": ys["tnd_ql"],
+        "qi": ys["tnd_qi"],
+    }
+    diags = {
+        "clc": ys["clc"],
+        "covptot": ys["covptot"],
+        "fplsl": fplsl,
+        "fplsn": fplsn,
+        "fhpsl": -fplsl * c.RLVTT,
+        "fhpsn": -fplsn * c.RLSTT,
+    }
+    # reference zeroes the top interface of the enthalpy fluxes only
+    # (cloudsc2.py:391-394); fplsl/fplsn at the top are zero by construction
+    return tends, diags

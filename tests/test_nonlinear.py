@@ -1,0 +1,74 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Nonlinear scheme vs. the independent scalar oracle."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudsc2_tpu import make_constants
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+from cloudsc2_tpu.physics.saturation import saturation
+
+from .oracle import oracle_nonlinear, oracle_saturation
+
+
+def test_saturation_matches_oracle(state_with_qsat, constants):
+    _, state, _ = state_with_qsat
+    got = saturation(state["ap"], state["t"], kflag=1, lphylin=True, c=constants)
+    want = oracle_saturation(np.asarray(state["ap"]), np.asarray(state["t"]), constants)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-13, atol=0)
+
+
+def test_saturation_nonlinear_branch(state_with_qsat, constants):
+    _, state, _ = state_with_qsat
+    for kflag in (1, 2):
+        got = saturation(state["ap"], state["t"], kflag=kflag, lphylin=False, c=constants)
+        want = oracle_saturation(
+            np.asarray(state["ap"]), np.asarray(state["t"]), constants,
+            kflag=kflag, lphylin=False,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-13, atol=0)
+
+
+@pytest.mark.parametrize("levapls2", [False, True])
+def test_nonlinear_matches_oracle(state_with_qsat, levapls2):
+    _, state, dt = state_with_qsat
+    c = make_constants(lphylin=True, ldrain1d=False)
+    if levapls2:
+        c = c.replace(LEVAPLS2=True)
+    tends, diags = cloudsc2_nl(state, dt, c)
+    np_state = {k: np.asarray(v) for k, v in state.items()}
+    tends_o, diags_o = oracle_nonlinear(np_state, dt, c)
+    for name in ("t", "q", "ql", "qi"):
+        np.testing.assert_allclose(
+            np.asarray(tends[name]), tends_o[name], rtol=1e-10, atol=1e-13, err_msg=name
+        )
+    for name in ("clc", "covptot", "fplsl", "fplsn", "fhpsl", "fhpsn"):
+        np.testing.assert_allclose(
+            np.asarray(diags[name]), diags_o[name], rtol=1e-10, atol=1e-13, err_msg=name
+        )
+
+
+def test_nonlinear_physical_invariants(state_with_qsat, constants):
+    _, state, dt = state_with_qsat
+    tends, diags = cloudsc2_nl(state, dt, constants)
+    clc = np.asarray(diags["clc"])
+    assert (clc >= 0).all() and (clc <= 1).all()
+    assert (np.asarray(diags["fplsl"]) >= 0).all()
+    assert (np.asarray(diags["fplsn"]) >= 0).all()
+    # enthalpy fluxes are consistent with precipitation fluxes
+    np.testing.assert_allclose(
+        np.asarray(diags["fhpsl"]), -np.asarray(diags["fplsl"]) * constants.RLVTT
+    )
+    for v in {**tends, **diags}.values():
+        assert not np.isnan(np.asarray(v)).any()
+
+
+def test_nonlinear_columns_independent(state_with_qsat, constants):
+    """Columns are embarrassingly parallel: a column subset gives identical results."""
+    _, state, dt = state_with_qsat
+    tends, _ = cloudsc2_nl(state, dt, constants)
+    sub = {k: (v if v.ndim == 1 else v[:, 10:20]) for k, v in state.items()}
+    tends_sub, _ = cloudsc2_nl(sub, dt, constants)
+    np.testing.assert_array_equal(np.asarray(tends["t"])[:, 10:20], np.asarray(tends_sub["t"]))
