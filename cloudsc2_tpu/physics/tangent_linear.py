@@ -1,0 +1,600 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""CLOUDSC2 tangent-linear scheme, TPU-native formulation.
+
+JAX re-implementation of the reference ``cloudsc2_tl`` gtscript stencil
+(``src/cloudsc2_gt4py/physics/tangent_linear/_stencils/cloudsc2.py:23-774``)
+and its component (``physics/tangent_linear/microphysics.py:46-242``).
+
+The hand-derived tangent linear propagates a perturbation ``x_i`` alongside
+every forward intermediate ``x`` (dual-number style).  It is NOT the exact
+Jacobian-vector product of the nonlinear scheme: four ``LREGCL``
+regularization switches deliberately damp perturbation growth
+
+* cloud-fraction factor ``yyy = min(0.3, 3.5*sqrt(...))``  (reference :295-301)
+* subsidence ``dqc_i *= 0.1``                              (reference :367-368)
+* autoconversion ``ckcodtl/100``, ``ckcodti/100``          (reference :444-487)
+* clipping ``dq_i *= 0.7``                                 (reference :667-668)
+
+With ``LREGCL=False`` this operator equals ``jax.jvp`` of the nonlinear
+scheme up to rounding (cross-checked in ``tests/test_tl.py``), which is how
+the Taylor test runs it (reference ``tangent_linear/validation.py:84-85``).
+
+Structure mirrors :mod:`cloudsc2_tpu.physics.nonlinear`: a ``lax.scan`` over
+levels; carried state ``(rfl, sfl, covptot)`` plus their perturbations.
+Unlike the NL scheme, the TL stencil always uses the linearized-physics
+``tanh`` water fraction and always clips ``esdp`` (reference :189-205).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_tl
+from cloudsc2_tpu.physics.nonlinear import critical_rh, prepare_level_inputs, tropopause_eta
+
+Array = jnp.ndarray
+
+
+class TLCarry(NamedTuple):
+    rfl: Array
+    sfl: Array
+    covptot: Array
+    rfl_i: Array
+    sfl_i: Array
+    covptot_i: Array
+
+
+def tl_level(
+    carry: TLCarry,
+    x: Dict[str, Array],
+    aph_s: Array,
+    aph_s_i: Array,
+    trpaus: Array,
+    dt: float,
+    c: Constants,
+) -> Tuple[TLCarry, Dict[str, Array]]:
+    """One vertical level of the tangent-linear scheme (reference :149-753)."""
+    rfl, sfl, covptot, rfl_i, sfl_i, covptot_i = carry
+    ap = x["ap"]
+    ap_i = x["ap_i"]
+    qsat_in = x["qsat"]
+    qsat_in_i = x["qsat_i"]
+
+    # first-guess state and perturbations (reference :137-156)
+    t = x["t_fg"]
+    t_i = x["t_i"] + dt * x["tnd_cml_t_i"]
+    q = x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
+    q_i = x["q_i"] + dt * x["tnd_cml_q_i"] + x["supsat_i"]
+    ql = x["ql"] + dt * x["tnd_cml_ql"]
+    ql_i = x["ql_i"] + dt * x["tnd_cml_ql_i"]
+    qi = x["qi"] + dt * x["tnd_cml_qi"]
+    qi_i = x["qi_i"] + dt * x["tnd_cml_qi_i"]
+
+    # constants (reference :158-168)
+    ckcodtl = 2.0 * c.RKCONV * dt
+    ckcodti = 5.0 * c.RKCONV * dt
+    ckcodtla = ckcodtl / 100.0
+    ckcodtia = ckcodti / 100.0
+    cons2 = 1.0 / (c.RG * dt)
+    cons3 = c.RLVTT / c.RCPD
+    meltp2 = c.RTT + 2.0
+    scalm = x["scalm"]
+
+    # thermodynamic coefficients, inverse form (reference :170-180)
+    dp = x["aph1"] - x["aph0"]
+    dp_i = x["aph1_i"] - x["aph0_i"]
+    zz = 1.0 / (c.RCPD + c.RCPD * c.RVTMP2 * q)
+    zz_i = -c.RCPD * c.RVTMP2 * q_i / (c.RCPD + c.RCPD * c.RVTMP2 * q) ** 2.0
+    lfdcp = c.RLMLT * zz
+    lfdcp_i = c.RLMLT * zz_i
+    lsdcp = c.RLSTT * zz
+    lsdcp_i = c.RLSTT * zz_i
+    lvdcp = c.RLVTT * zz
+    lvdcp_i = c.RLVTT * zz_i
+
+    # dqs/dT correction factor; always the tanh branch here (reference :189-222)
+    cold = t < c.RTT
+    sech = 1.0 / jnp.cosh(0.17 * (t - c.RLPTRC))
+    fwat = jnp.where(cold, 0.545 * (jnp.tanh(0.17 * (t - c.RLPTRC)) + 1.0), 1.0)
+    fwat_i = jnp.where(cold, 0.545 * 0.17 * t_i * sech**2.0, 0.0)
+    z3es = jnp.where(cold, c.R3IES, c.R3LES)
+    z4es = jnp.where(cold, c.R4IES, c.R4LES)
+    foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) / (t - z4es))
+    foeew_i = z3es * (c.RTT - z4es) * t_i * foeew / (t - z4es) ** 2.0
+    esdp = foeew / ap
+    esdp_i = foeew_i / ap - foeew * ap_i / ap**2.0
+    clip_esdp = esdp > c.ZQMAX
+    esdp = jnp.where(clip_esdp, c.ZQMAX, esdp)
+    esdp_i = jnp.where(clip_esdp, 0.0, esdp_i)
+
+    facw = c.R5LES / (t - c.R4LES) ** 2.0
+    facw_i = -2.0 * c.R5LES * t_i / (t - c.R4LES) ** 3.0
+    faci = c.R5IES / (t - c.R4IES) ** 2.0
+    faci_i = -2.0 * c.R5IES * t_i / (t - c.R4IES) ** 3.0
+    fac = fwat * facw + (1.0 - fwat) * faci
+    fac_i = fwat_i * (facw - faci) + fwat * facw_i + (1.0 - fwat) * faci_i
+    cor = 1.0 / (1.0 - c.RETV * esdp)
+    cor_i = c.RETV * esdp_i / (1.0 - c.RETV * esdp) ** 2.0
+    dqsdtemp = fac * cor * qsat_in
+    dqsdtemp_i = fac_i * cor * qsat_in + fac * cor_i * qsat_in + fac * cor * qsat_in_i
+    corqs = 1.0 + cons3 * dqsdtemp
+    corqs_i = cons3 * dqsdtemp_i
+
+    # clipped state (reference :224-230)
+    overs = q > qsat_in
+    qlim = jnp.where(overs, qsat_in, q)
+    qlim_i = jnp.where(overs, qsat_in_i, q_i)
+
+    # critical humidity and ice supersaturation (reference :232-265)
+    crh2 = critical_rh(x["eta"], trpaus)
+    cold_ice = t < c.RTICE
+    supsat_fac = jnp.where(cold_ice, 1.8 - 0.003 * t, 1.0)
+    supsat_fac_i = jnp.where(cold_ice, -0.003 * t_i, 0.0)
+    qsat = qsat_in * supsat_fac
+    qsat_i = qsat_in_i * supsat_fac + qsat_in * supsat_fac_i
+    qcrit = crh2 * qsat
+    qcrit_i = crh2 * qsat_i
+
+    # cloud cover and its perturbation (reference :267-306)
+    qt = q + ql + qi
+    qt_i = q_i + ql_i + qi_i
+    low = qt < qcrit
+    high = qt >= qsat
+    mid = jnp.logical_not(low | high)
+    qpd = qsat - qt
+    qpd_i = qsat_i - qt_i
+    qcd = qsat - qcrit
+    qcd_i = qsat_i - qcrit_i
+    denom = qcd - scalm * (qt - qcrit)
+    denom_safe = jnp.where(mid, denom, 1.0)
+    tmp1 = jnp.sqrt(jnp.where(mid, qpd / denom_safe, 0.0))
+    tmp1_safe = jnp.where(mid, tmp1, 1.0)
+    clc_mid = 1.0 - tmp1
+    clc_mid_i = (
+        -0.5
+        / tmp1_safe
+        * (qpd_i * denom - qpd * (qcd_i - scalm * (qt_i - qcrit_i)))
+        / denom_safe**2.0
+    )
+    if c.LREGCL:
+        # regularization of the cloud-fraction perturbation (reference :294-301)
+        qcd_safe = jnp.where(mid, qcd, 1.0)
+        rat = qpd / qcd_safe
+        yyy = jnp.minimum(
+            0.3,
+            3.5 * jnp.sqrt(jnp.maximum(rat * (1.0 - scalm * (1.0 - rat)) ** 3.0, 0.0))
+            / (1.0 - scalm),
+        )
+        clc_mid_i = clc_mid_i * yyy
+    qc_mid = (scalm * qpd + (1.0 - scalm) * qcd) * clc_mid**2.0
+    qc_mid_i = (scalm * qpd_i + (1.0 - scalm) * qcd_i) * clc_mid**2.0 + 2.0 * (
+        scalm * qpd + (1.0 - scalm) * qcd
+    ) * clc_mid * clc_mid_i
+
+    clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
+    clc_i = jnp.where(low, 0.0, jnp.where(high, 0.0, clc_mid_i))
+    qc = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat - qcrit), qc_mid))
+    qc_i = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat_i - qcrit_i), qc_mid_i))
+
+    # convective component (reference :308-325)
+    gdp = c.RG / (x["aph1"] - x["aph0"])
+    gdp_i = -c.RG * (x["aph1_i"] - x["aph0_i"]) / (x["aph1"] - x["aph0"]) ** 2.0
+    lude = dt * x["lude"] * gdp
+    lude_i = dt * (x["lude_i"] * gdp + x["lude"] * gdp_i)
+    lu1 = x["lu_next"]
+    lu1_i = x["lu_next_i"]
+    lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
+    lu1_safe = jnp.where(lo1, lu1, 1.0)
+    tmp2 = jnp.exp(-lude / lu1_safe)
+    clc_i_conv = -clc_i * (1.0 - tmp2) + (1.0 - clc) * tmp2 * (
+        lude_i / lu1_safe - lude * lu1_i / lu1_safe**2.0
+    )
+    clc_i = jnp.where(lo1, clc_i + clc_i_conv, clc_i)
+    clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
+    qc = jnp.where(lo1, qc + lude, qc)
+    qc_i = jnp.where(lo1, qc_i + lude_i, qc_i)
+
+    # compensating subsidence (reference :327-373)
+    fac1 = 1.0 / (c.RD * t)
+    rho = ap * fac1
+    rho_i = (ap_i - ap * t_i / t) * fac1
+    fac2 = 1.0 / (ap - c.RETV * foeew)
+    rodqsdp = -rho * qsat_in * fac2
+    rodqsdp_i = (
+        -rho_i * qsat_in
+        - rho * qsat_in_i
+        + rho * qsat_in * (ap_i - c.RETV * foeew_i) * fac2
+    ) * fac2
+    ldcp = fwat * lvdcp + (1.0 - fwat) * lsdcp
+    ldcp_i = fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i
+    fac3 = 1.0 / (1.0 + ldcp * dqsdtemp)
+    dtdzmo = c.RG * (1.0 / c.RCPD - ldcp * rodqsdp) * fac3
+    dtdzmo_i = (
+        -(
+            c.RG * (ldcp_i * rodqsdp + ldcp * rodqsdp_i)
+            + dtdzmo * (ldcp_i * dqsdtemp + ldcp * dqsdtemp_i)
+        )
+        * fac3
+    )
+    dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
+    dqsdz_i = dqsdtemp_i * dtdzmo + dqsdtemp * dtdzmo_i - c.RG * rodqsdp_i
+
+    sub = dt * dqsdz * (x["mfu"] + x["mfd"]) / rho
+    lo3 = sub < qc
+    dqc = jnp.where(lo3, sub, qc)
+    dqc_i_sub = (
+        dt * (dqsdz_i * (x["mfu"] + x["mfd"]) + dqsdz * (x["mfu_i"] + x["mfd_i"]))
+        - dqc * rho_i
+    ) / rho
+    if c.LREGCL:
+        dqc_i_sub = dqc_i_sub * 0.1  # reference :367-368
+    dqc_i = jnp.where(lo3, dqc_i_sub, qc_i)
+    qc = qc - dqc
+    qc_i = qc_i - dqc_i
+
+    # new condensate and condensation rates (reference :375-386)
+    qlwc = qc * fwat
+    qlwc_i = qc_i * fwat + qc * fwat_i
+    qiwc = qc * (1.0 - fwat)
+    qiwc_i = qc_i * (1.0 - fwat) - qc * fwat_i
+    condl = (qlwc - ql) / dt
+    condl_i = (qlwc_i - ql_i) / dt
+    condi = (qiwc - qi) / dt
+    condi_i = (qiwc_i - qi_i) / dt
+
+    # maximum precipitation overlap (reference :388-397)
+    grow = clc > covptot
+    covptot = jnp.where(grow, clc, covptot)
+    covptot_i = jnp.where(grow, clc_i, covptot_i)
+    covpclr = covptot - clc
+    covpclr_i = covptot_i - clc_i
+    neg = covpclr < 0.0
+    covpclr = jnp.where(neg, 0.0, covpclr)
+    covpclr_i = jnp.where(neg, 0.0, covpclr_i)
+
+    # melting of incoming snow (reference :399-427)
+    melt = sfl != 0.0
+    cons = cons2 * dp / lfdcp
+    cons_i = cons2 * (dp_i * lfdcp - dp * lfdcp_i) / lfdcp**2.0
+    warm = t > meltp2
+    z2s = jnp.where(warm, cons * (t - meltp2), 0.0)
+    z2s_i = jnp.where(warm, cons_i * (t - meltp2) + cons * t_i, 0.0)
+    take_sfl = sfl <= z2s
+    snmlt = jnp.where(take_sfl, sfl, z2s)
+    snmlt_i = jnp.where(take_sfl, sfl_i, z2s_i)
+    rfln = jnp.where(melt, rfl + snmlt, rfl)
+    rfln_i = jnp.where(melt, rfl_i + snmlt_i, rfl_i)
+    sfln = jnp.where(melt, sfl - snmlt, sfl)
+    sfln_i = jnp.where(melt, sfl_i - snmlt_i, sfl_i)
+    t_i = jnp.where(melt, t_i - (snmlt_i * cons - snmlt * cons_i) / cons**2.0, t_i)
+    t = jnp.where(melt, t - snmlt / cons, t)
+
+    # autoconversion of cloud water/ice (reference :429-503)
+    act = clc > c.ZEPS2
+    if c.LEVAPLS2 or c.LDRAIN1D:
+        lcrit = 1.9 * c.RCLCRIT
+        icrit = 0.0001
+    else:
+        lcrit = 2.0 * c.RCLCRIT
+        icrit = 2.0 * c.RCLCRIT
+    clc_safe = jnp.where(act, clc, 1.0)
+
+    cldl = qlwc / clc_safe
+    cldl_i = qlwc_i / clc_safe - qlwc * clc_i / clc_safe**2.0
+    ltmp4 = jnp.exp(-((cldl / lcrit) ** 2.0))
+    dl = ckcodtl * (1.0 - ltmp4)
+    ltmp5 = jnp.exp(-dl)
+    lfactor = ckcodtla if c.LREGCL else ckcodtl  # reference :444-448
+    dl_i = (2.0 * lfactor / lcrit**2.0) * ltmp4 * cldl * cldl_i
+    qlnew = clc * cldl * ltmp5
+    qlnew_i = clc_i * cldl * ltmp5 + clc * cldl_i * ltmp5 - clc * cldl * ltmp5 * dl_i
+    prr = jnp.where(act, qlwc - qlnew, 0.0)
+    prr_i = jnp.where(act, qlwc_i - qlnew_i, 0.0)
+    qlwc = qlwc - prr
+    qlwc_i = qlwc_i - prr_i
+
+    cldi = qiwc / clc_safe
+    cldi_i = qiwc_i / clc_safe - qiwc * clc_i / clc_safe**2.0
+    itmp41 = jnp.exp(-((cldi / icrit) ** 2.0))
+    itmp42 = jnp.exp(0.025 * (t - c.RTT))
+    di = ckcodti * itmp42 * (1.0 - itmp41)
+    itmp5 = jnp.exp(-di)
+    ifactor = ckcodtia if c.LREGCL else ckcodti  # reference :475-487
+    di_i = ifactor * itmp42 * (
+        itmp41 * (2.0 * cldi * cldi_i / icrit**2.0 - 0.025 * t_i) + 0.025 * t_i
+    )
+    qinew = clc * cldi * itmp5
+    qinew_i = clc_i * cldi * itmp5 + clc * cldi_i * itmp5 - clc * cldi * itmp5 * di_i
+    prs = jnp.where(act, qiwc - qinew, 0.0)
+    prs_i = jnp.where(act, qiwc_i - qinew_i, 0.0)
+    qiwc = qiwc - prs
+    qiwc_i = qiwc_i - prs_i
+
+    # new precipitation and rain fraction (reference :505-523)
+    dr = cons2 * dp * (prr + prs)
+    dr_i = cons2 * (dp_i * (prr + prs) + dp * (prr_i + prs_i))
+    coldt = t < c.RTT
+    rfreeze = jnp.where(coldt, cons2 * dp * prr, 0.0)
+    rfreeze_i = jnp.where(coldt, cons2 * (dp_i * prr + dp * prr_i), 0.0)
+    fwatr = jnp.where(coldt, 0.0, 1.0)
+    rfln = rfln + fwatr * dr
+    rfln_i = rfln_i + fwatr * dr_i
+    sfln = sfln + (1.0 - fwatr) * dr
+    sfln_i = sfln_i + (1.0 - fwatr) * dr_i
+
+    # precipitation evaporation (reference :525-616); statically compiled out
+    # in the default configuration
+    prtot = rfln + sfln
+    prtot_i = rfln_i + sfln_i
+    if c.LEVAPLS2 or c.LDRAIN1D:
+        eact = (prtot > c.ZEPS2) & (covpclr > c.ZEPS2)
+        covptot_safe = jnp.where(eact, covptot, 1.0)
+        covpclr_safe = jnp.where(eact, covpclr, 1.0)
+        prtot_safe = jnp.where(eact, prtot, 1.0)
+        preclr = prtot * covpclr / covptot_safe
+        preclr_i = (
+            (prtot_i * covpclr + prtot * covpclr_i) / covptot_safe
+            - prtot * covpclr * covptot_i / covptot_safe**2.0
+        )
+        clcc = jnp.where(eact, 1.0 - clc, 1.0)
+        qe = qsat_in - (qsat_in - qlim) * covpclr / clcc**2.0
+        qe_i = (
+            qsat_in_i
+            - (qsat_in_i * covpclr - qlim_i * covpclr + (qsat_in - qlim) * covpclr_i)
+            / clcc**2.0
+            - 2.0 * (qsat_in - qlim) * covpclr * clc_i / clcc**3.0
+        )
+        tmp6 = jnp.sqrt(ap / aph_s)
+        preclr_safe = jnp.where(eact & (preclr > 0.0), preclr, 1.0)
+        beta = c.RG * c.RPECONS * (tmp6 * preclr_safe / (0.00509 * covpclr_safe)) ** 0.5777
+        beta_i = (
+            0.5777
+            * c.RG
+            * c.RPECONS
+            / 0.00509
+            * (0.00509 * covpclr_safe / (tmp6 * preclr_safe)) ** 0.4223
+            * (
+                (
+                    tmp6 * preclr_i
+                    + 0.5 * preclr_safe * ap_i / (tmp6 * ap)
+                    - 0.5 * preclr_safe * tmp6 * aph_s_i / aph_s
+                )
+                / covpclr_safe
+                - tmp6 * preclr_safe * covpclr_i / covpclr_safe**2.0
+            )
+        )
+        b = dt * beta * (qsat_in - qe) / (1.0 + dt * beta * corqs)
+        b_i = dt * (beta_i * (qsat_in - qe) + beta * (qsat_in_i - qe_i)) / (
+            1.0 + dt * beta * corqs
+        ) - dt**2.0 * b * (beta_i * corqs + beta * corqs_i) / (1.0 + dt * beta * corqs)
+        dtgdp = dt * c.RG / (x["aph1"] - x["aph0"])
+        dtgdp_i = -dt * c.RG * (x["aph1_i"] - x["aph0_i"]) / (x["aph1"] - x["aph0"]) ** 2.0
+        dpr = covpclr * b / dtgdp
+        dpr_i = (covpclr_i * b + covpclr * b_i) / dtgdp - covpclr * b * dtgdp_i / dtgdp**2.0
+        big = dpr > preclr
+        dpr = jnp.where(big, preclr, dpr)
+        dpr_i = jnp.where(big, preclr_i, dpr_i)
+        dpr = jnp.where(eact, dpr, 0.0)
+        dpr_i = jnp.where(eact, dpr_i, 0.0)
+        preclr = preclr - dpr
+        preclr_i = preclr_i - dpr_i
+        drained = eact & (preclr <= 0.0)
+        covptot = jnp.where(drained, clc, covptot)
+        covptot_i = jnp.where(drained, clc_i, covptot_i)
+        covptot_out = jnp.where(eact, covptot, 0.0)
+        covptot_out_i = jnp.where(eact, covptot_i, 0.0)
+        evapr = jnp.where(eact, dpr * rfln / prtot_safe, 0.0)
+        evapr_i = jnp.where(
+            eact,
+            (dpr_i * rfln + dpr * rfln_i) / prtot_safe - dpr * rfln * prtot_i / prtot_safe**2.0,
+            0.0,
+        )
+        rfln = rfln - evapr
+        rfln_i = rfln_i - evapr_i
+        evaps = jnp.where(eact, dpr * sfln / prtot_safe, 0.0)
+        evaps_i = jnp.where(
+            eact,
+            (dpr_i * sfln + dpr * sfln_i) / prtot_safe - dpr * sfln * prtot_i / prtot_safe**2.0,
+            0.0,
+        )
+        sfln = sfln - evaps
+        sfln_i = sfln_i - evaps_i
+    else:
+        zero = jnp.zeros_like(prtot)
+        evapr = evapr_i = evaps = evaps_i = zero
+        covptot_out = covptot_out_i = zero
+
+    # T and q increments (reference :618-659)
+    dqdt = -(condl + condi) + (x["lude"] + evapr + evaps) * gdp
+    dqdt_i = (
+        -(condl_i + condi_i)
+        + (x["lude_i"] + evapr_i + evaps_i) * gdp
+        + (x["lude"] + evapr + evaps) * gdp_i
+    )
+    tmp7 = (
+        lvdcp * evapr
+        + lsdcp * evaps
+        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        - (lsdcp - lvdcp) * rfreeze
+    )
+    dtdt = lvdcp * condl + lsdcp * condi - tmp7 * gdp
+    dtdt_i = (
+        lvdcp_i * condl
+        + lvdcp * condl_i
+        + lsdcp_i * condi
+        + lsdcp * condi_i
+        - (
+            lvdcp_i * evapr
+            + lvdcp * evapr_i
+            + lsdcp_i * evaps
+            + lsdcp * evaps_i
+            + x["lude_i"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+            + x["lude"] * (fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i)
+            - (lsdcp_i - lvdcp_i) * rfreeze
+            - (lsdcp - lvdcp) * rfreeze_i
+        )
+        * gdp
+        - tmp7 * gdp_i
+    )
+    t = t + dt * dtdt
+    t_i = t_i + dt * dtdt_i
+    q = q + dt * dqdt
+    q_i = q_i + dt * dqdt_i
+    qold = q
+    qold_i = q_i
+
+    # clipping of final qv (reference :661-673)
+    t, t_i, q, q_i = cuadjtqs_tl(ap, ap_i, t, t_i, q, q_i, c)
+    clipped = qold >= q
+    dq = jnp.where(clipped, qold - q, 0.0)
+    dq_i = jnp.where(clipped, qold_i - q_i, 0.0)
+    if c.LREGCL:
+        dq_i = jnp.where(clipped, dq_i * 0.7, dq_i)  # reference :667-668
+    dr2 = cons2 * dp * dq
+    dr2_i = cons2 * (dp_i * dq + dp * dq_i)
+
+    # update rain fraction and freezing (reference :675-703)
+    coldt2 = t < c.RTT
+    rfreeze2 = jnp.where(coldt2, fwat * dr2, 0.0)
+    rfreeze2_i = jnp.where(coldt2, fwat_i * dr2 + fwat * dr2_i, 0.0)
+    fwatr2 = jnp.where(coldt2, 0.0, 1.0)
+    rn = fwatr2 * dr2
+    rn_i = fwatr2 * dr2_i
+    sn = (1.0 - fwatr2) * dr2
+    sn_i = (1.0 - fwatr2) * dr2_i
+    condl = condl + fwatr2 * dq / dt
+    condl_i = condl_i + fwatr2 * dq_i / dt
+    condi = condi + (1.0 - fwatr2) * dq / dt
+    condi_i = condi_i + (1.0 - fwatr2) * dq_i / dt
+    rfln = rfln + rn
+    rfln_i = rfln_i + rn_i
+    sfln = sfln + sn
+    sfln_i = sfln_i + sn_i
+    rfreeze = rfreeze + rfreeze2
+    rfreeze_i = rfreeze_i + rfreeze2_i
+
+    # output tendencies (reference :705-741)
+    tnd_q = -(condl + condi) + (x["lude"] + evapr + evaps) * gdp
+    tnd_q_i = (
+        -(condl_i + condi_i)
+        + (x["lude_i"] + evapr_i + evaps_i) * gdp
+        + (x["lude"] + evapr + evaps) * gdp_i
+    )
+    tmp8 = (
+        lvdcp * evapr
+        + lsdcp * evaps
+        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        - (lsdcp - lvdcp) * rfreeze
+    )
+    tnd_t = lvdcp * condl + lsdcp * condi - tmp8 * gdp
+    tnd_t_i = (
+        lvdcp_i * condl
+        + lvdcp * condl_i
+        + lsdcp_i * condi
+        + lsdcp * condi_i
+        - (
+            lvdcp_i * evapr
+            + lvdcp * evapr_i
+            + lsdcp_i * evaps
+            + lsdcp * evaps_i
+            + x["lude_i"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+            + x["lude"] * (fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i)
+            - (lsdcp_i - lvdcp_i) * rfreeze
+            - (lsdcp - lvdcp) * rfreeze_i
+        )
+        * gdp
+        - tmp8 * gdp_i
+    )
+
+    outs = {
+        "tnd_t": tnd_t,
+        "tnd_t_i": tnd_t_i,
+        "tnd_q": tnd_q,
+        "tnd_q_i": tnd_q_i,
+        "tnd_ql": (qlwc - ql) / dt,
+        "tnd_ql_i": (qlwc_i - ql_i) / dt,
+        "tnd_qi": (qiwc - qi) / dt,
+        "tnd_qi_i": (qiwc_i - qi_i) / dt,
+        "clc": clc,
+        "clc_i": clc_i,
+        "covptot": covptot_out,
+        "covptot_i": covptot_out_i,
+        "fplsl": rfln,
+        "fplsl_i": rfln_i,
+        "fplsn": sfln,
+        "fplsn_i": sfln_i,
+    }
+    return TLCarry(rfln, sfln, covptot, rfln_i, sfln_i, covptot_i), outs
+
+
+def prepare_tl_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Array]:
+    """Per-level scan inputs including the perturbation fields."""
+    xs = prepare_level_inputs(state, dt)
+    lu_i = state["lu_i"]
+    xs.update(
+        ap_i=state["ap_i"],
+        aph0_i=state["aph_i"][:-1],
+        aph1_i=state["aph_i"][1:],
+        lu_next_i=jnp.concatenate([lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0),
+        lude_i=state["lude_i"],
+        mfd_i=state["mfd_i"],
+        mfu_i=state["mfu_i"],
+        q_i=state["q_i"],
+        qi_i=state["qi_i"],
+        ql_i=state["ql_i"],
+        qsat_i=state["qsat_i"],
+        supsat_i=state["supsat_i"],
+        t_i=state["t_i"],
+        tnd_cml_q_i=state["tnd_cml_q_i"],
+        tnd_cml_qi_i=state["tnd_cml_qi_i"],
+        tnd_cml_ql_i=state["tnd_cml_ql_i"],
+        tnd_cml_t_i=state["tnd_cml_t_i"],
+    )
+    return xs
+
+
+@partial(jax.jit, static_argnames=("c",))
+def cloudsc2_tl(
+    state: Dict[str, Array], dt: float, c: Constants
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Run the tangent-linear CLOUDSC2 scheme over all levels.
+
+    ``state`` must contain the 16 input fields AND their 16 perturbations
+    (suffix ``_i``), plus ``eta`` and ``qsat``/``qsat_i``.  Returns
+    ``(tendencies, diagnostics)`` with forward and perturbation fields, the
+    same 8 + 12 outputs as the reference component
+    (``tangent_linear/microphysics.py:132-160``).
+    """
+    xs = prepare_tl_level_inputs(state, dt)
+    ncols = state["ap"].shape[1]
+    dtype = state["ap"].dtype
+    trpaus = tropopause_eta(state["eta"].astype(dtype), xs["t_fg"])
+    aph_s = state["aph"][-1]
+    aph_s_i = state["aph_i"][-1]
+
+    def body(carry: TLCarry, x: Dict[str, Array]):
+        return tl_level(carry, x, aph_s, aph_s_i, trpaus, dt, c)
+
+    z = jnp.zeros((ncols,), dtype)
+    _, ys = jax.lax.scan(body, TLCarry(z, z, z, z, z, z), xs)
+
+    zrow = jnp.zeros((1, ncols), dtype)
+    out: Dict[str, Dict[str, Array]] = {"tends": {}, "diags": {}}
+    for name in ("t", "q", "ql", "qi"):
+        out["tends"][name] = ys["tnd_" + name]
+        out["tends"][name + "_i"] = ys["tnd_" + name + "_i"]
+    for name in ("clc", "clc_i", "covptot", "covptot_i"):
+        out["diags"][name] = ys[name]
+    for name in ("fplsl", "fplsl_i", "fplsn", "fplsn_i"):
+        out["diags"][name] = jnp.concatenate([zrow, ys[name]], axis=0)
+    out["diags"]["fhpsl"] = -out["diags"]["fplsl"] * c.RLVTT
+    out["diags"]["fhpsl_i"] = -out["diags"]["fplsl_i"] * c.RLVTT
+    out["diags"]["fhpsn"] = -out["diags"]["fplsn"] * c.RLSTT
+    out["diags"]["fhpsn_i"] = -out["diags"]["fplsn_i"] * c.RLSTT
+    return out["tends"], out["diags"]

@@ -1,0 +1,135 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Taylor (V-shape) test: validates the tangent-linear against the nonlinear.
+
+Re-implements the reference protocol
+(``src/cloudsc2_gt4py/physics/tangent_linear/validation.py:45-261``): perturb
+the state by ``factor1``, run the TL once, then for each ``factor2`` compare
+the nonlinear difference ``NL(x + λ δx) − NL(x)`` against ``λ · TL(δx)``.
+The ratio must approach 1 as λ shrinks, descend monotonically, then rise
+again (V-shape) as rounding dominates.  Regularization is disabled during the
+test (``LREGCL=False``, reference ``validation.py:84-85``).
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.physics.increment import perturbed_state, state_increment
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+from cloudsc2_tpu.physics.saturation import saturation
+from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+
+Array = jnp.ndarray
+
+TEND_NAMES = ("t", "q", "ql", "qi")
+DIAG_NAMES = ("clc", "fhpsl", "fhpsn", "fplsl", "fplsn", "covptot")
+
+
+@dataclass
+class TaylorTest:
+    """Reference Taylor-test orchestration (``validation.py:45-181``)."""
+
+    constants: Constants
+    factor1: float = 0.01
+    factor2s: Sequence[float] = tuple(float(10.0 ** -(i + 1)) for i in range(10))
+    kflag: int = 1
+    lphylin: bool = True
+    norms: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        # no regularization in the Taylor test (reference validation.py:84-85)
+        self.constants = self.constants.replace(LREGCL=False)
+
+    def run(self, state: Dict[str, Array], dt: float) -> np.ndarray:
+        c = self.constants
+        state = dict(state)
+        state["qsat"] = saturation(
+            state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
+        )
+        tends_nl, diags_nl = cloudsc2_nl(state, dt, c)
+
+        state.update(state_increment(state, self.factor1))
+        tends_tl, diags_tl = cloudsc2_tl(state, dt, c)
+
+        norms = np.zeros(len(self.factor2s))
+        for i, f2 in enumerate(self.factor2s):
+            state_p = perturbed_state(state, f2)
+            tends_p, diags_p = cloudsc2_nl(state_p, dt, c)
+            norms[i] = self.get_norm(
+                f2, tends_nl, diags_nl, tends_p, diags_p, tends_tl, diags_tl
+            )
+        self.norms = norms
+        return norms
+
+    @staticmethod
+    def get_norm(f2, tends_nl, diags_nl, tends_p, diags_p, tends_tl, diags_tl) -> float:
+        """Averaged per-field ratio (reference ``validation.py:219-261``)."""
+        total_count = 0
+        total_norm = 0.0
+        fields = [
+            (tends_nl[n], tends_p[n], tends_tl[n + "_i"]) for n in TEND_NAMES
+        ] + [(diags_nl[n], diags_p[n], diags_tl[n + "_i"]) for n in DIAG_NAMES]
+        for f_nl, f_p, f_tl in fields:
+            den = abs(f2 * float(jnp.sum(f_tl)))
+            if den > sys.float_info.epsilon:
+                norm = abs(float(jnp.sum(f_p - f_nl))) / den
+            else:
+                norm = 0.0
+            total_count += norm > 0
+            total_norm += norm
+        return total_norm / total_count if total_count > 0 else 0.0
+
+    def validate(self, norms: np.ndarray | None = None, verbose: bool = True) -> int:
+        """V-shape verdict (reference ``validation.py:183-217``).
+
+        Returns the penalty/error code; the test passes iff it is <= 5.
+        """
+        norms = np.array(self.norms if norms is None else norms, dtype=np.float64)
+        if verbose:
+            print(">>> Taylor test: Start")
+        start = -1
+        for i in range(norms.size):
+            if verbose:
+                print(
+                    f"  factor1 = {self.factor1:.3e}, factor2 = {self.factor2s[i]:.3e}, "
+                    f"norm = {norms[i]:.10f}"
+                )
+            norms[i] = np.abs(1.0 - norms[i])
+            if start == -1 and norms[i] < 0.5:
+                start = i
+
+        if start == -1 or start > 3:
+            test = 13
+            log = "The test failed with error 13."
+        else:
+            test = -10
+            negat = 1
+            for i in range(start, norms.size - 1):
+                tmp_negat = int(norms[i + 1] < norms[i])
+                if negat > tmp_negat:
+                    test += 10
+                negat = tmp_negat
+            if test == -10:
+                test = 11
+            if np.min(norms[start:]) > 1e-5:
+                test += 7
+            if np.min(norms[start:]) > 1e-6:
+                test += 5
+            if test > 5:
+                log = f"The test failed with error {test}."
+            else:
+                log = f"The test passed with penalty {test}. HOORAY!"
+        if verbose:
+            print("<<< Taylor test: End")
+            print(log)
+        return test
+
+    def __call__(self, state: Dict[str, Array], dt: float, verbose: bool = True) -> int:
+        return self.validate(self.run(state, dt), verbose=verbose)

@@ -1,0 +1,96 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Tangent-linear scheme: forward consistency, jvp cross-check, Taylor test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloudsc2_tpu import make_constants
+from cloudsc2_tpu.physics.increment import INCREMENT_FIELDS, state_increment
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+from cloudsc2_tpu.validation.taylor import TaylorTest
+
+
+def _tl_state(state, factor=0.01, ignore_supsat=False):
+    s = dict(state)
+    s.update(state_increment(state, factor, ignore_supsat=ignore_supsat))
+    return s
+
+
+def test_tl_forward_matches_nl(state_with_qsat, constants):
+    """The TL forward trajectory reproduces the NL outputs (reference runs
+    both and the Taylor norm relies on their agreement)."""
+    _, state, dt = state_with_qsat
+    tends_nl, diags_nl = cloudsc2_nl(state, dt, constants)
+    tends_tl, diags_tl = cloudsc2_tl(_tl_state(state), dt, constants)
+    for n in ("t", "q", "ql", "qi"):
+        np.testing.assert_allclose(
+            np.asarray(tends_tl[n]), np.asarray(tends_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
+        )
+    for n in ("clc", "fplsl", "fplsn"):
+        np.testing.assert_allclose(
+            np.asarray(diags_tl[n]), np.asarray(diags_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
+        )
+
+
+def test_tl_matches_jvp_without_regularization(state_with_qsat):
+    """With LREGCL=False the hand-written TL equals jax.jvp of the NL scheme.
+
+    The reference cannot run this check (GT4Py has no AD); it is the
+    strongest available evidence that the TL linearization is exact.
+    """
+    _, state, dt = state_with_qsat
+    c = make_constants(lphylin=True, ldrain1d=False, lregcl=False)
+
+    incr = state_increment(state, 0.01)
+    primals = {n: state[n] for n in INCREMENT_FIELDS}
+    tangents = {n: incr[n + "_i"] for n in INCREMENT_FIELDS}
+
+    def f(p):
+        s = dict(state)
+        s.update(p)
+        return cloudsc2_nl(s, dt, c)
+
+    (tends_nl, diags_nl), (tends_dot, diags_dot) = jax.jvp(f, (primals,), (tangents,))
+
+    s_tl = dict(state)
+    s_tl.update(incr)
+    tends_tl, diags_tl = cloudsc2_tl(s_tl, dt, c)
+
+    for n in ("t", "q", "ql", "qi"):
+        a, b = np.asarray(tends_tl[n + "_i"]), np.asarray(tends_dot[n])
+        scale = np.abs(np.asarray(tends_nl[n])).max() * 0.01 + 1e-300
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
+    for n in ("clc", "fplsl", "fplsn", "covptot"):
+        a, b = np.asarray(diags_tl[n + "_i"]), np.asarray(diags_dot[n])
+        scale = max(np.abs(np.asarray(diags_nl[n])).max() * 0.01, 1e-300)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
+
+
+def test_taylor_test_passes(state_with_qsat, constants):
+    """The reference acceptance gate: V-shape penalty <= 5
+    (reference tangent_linear/validation.py:183-217).
+
+    Run on single columns and a small batch, mirroring the reference driver
+    default (``run_nonlinear.py:174``: --num-cols defaults to 1).  Large
+    column sums can legitimately break the V-shape monotonicity when a single
+    column crosses a physics branch between two lambda values.
+    """
+    _, state, dt = state_with_qsat
+    for cols in (slice(0, 1), slice(2, 3), slice(0, 4)):
+        sub = {k: (v if v.ndim == 1 else v[:, cols]) for k, v in state.items()}
+        tt = TaylorTest(constants=constants)
+        penalty = tt(sub, dt, verbose=True)
+        assert penalty <= 5, f"Taylor {cols} failed with error {penalty}; norms={tt.norms}"
+
+
+def test_tl_zero_increment_gives_zero(state_with_qsat, constants):
+    _, state, dt = state_with_qsat
+    s = _tl_state(state, factor=0.0)
+    tends_tl, diags_tl = cloudsc2_tl(s, dt, constants)
+    for n in ("t", "q", "ql", "qi"):
+        assert np.abs(np.asarray(tends_tl[n + "_i"])).max() == 0.0
+    for n in ("clc", "fplsl", "fplsn"):
+        assert np.abs(np.asarray(diags_tl[n + "_i"])).max() == 0.0
