@@ -559,9 +559,9 @@ def prepare_tl_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Arr
     return xs
 
 
-@partial(jax.jit, static_argnames=("c",))
+@partial(jax.jit, static_argnames=("c", "remat"))
 def cloudsc2_tl(
-    state: Dict[str, Array], dt: float, c: Constants
+    state: Dict[str, Array], dt: float, c: Constants, remat: bool = False
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Run the tangent-linear CLOUDSC2 scheme over all levels.
 
@@ -570,6 +570,13 @@ def cloudsc2_tl(
     ``(tendencies, diagnostics)`` with forward and perturbation fields, the
     same 8 + 12 outputs as the reference component
     (``tangent_linear/microphysics.py:132-160``).
+
+    ``remat`` wraps the per-level body in :func:`jax.checkpoint` so that a
+    reverse-mode transpose of this scan (the adjoint,
+    :mod:`cloudsc2_tpu.physics.adjoint`) stores only the tiny carried state
+    per level and regenerates all intermediates during the reverse sweep —
+    the TPU analogue of the reference adjoint's forward-recompute strategy
+    (``adjoint/_stencils/cloudsc2.py:133-476``).
     """
     xs = prepare_tl_level_inputs(state, dt)
     ncols = state["ap"].shape[1]
@@ -580,6 +587,9 @@ def cloudsc2_tl(
 
     def body(carry: TLCarry, x: Dict[str, Array]):
         return tl_level(carry, x, aph_s, aph_s_i, trpaus, dt, c)
+
+    if remat:
+        body = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
 
     z = jnp.zeros((ncols,), dtype)
     _, ys = jax.lax.scan(body, TLCarry(z, z, z, z, z, z), xs)

@@ -1,0 +1,121 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Adjoint scheme: forward consistency, symmetry test, vjp cross-check."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloudsc2_tpu import make_constants
+from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
+from cloudsc2_tpu.physics.increment import INCREMENT_FIELDS, state_increment
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+from cloudsc2_tpu.validation.symmetry import SymmetryTest
+
+
+def _ad_state(state, dt, c, factor=0.01):
+    """Assemble the AD input the way the symmetry test does."""
+    s = dict(state)
+    s.update(state_increment(state, factor, ignore_supsat=True))
+    tends_tl, diags_tl = cloudsc2_tl(s, dt, c)
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n] = tends_tl[n]
+        s["tnd_" + n + "_i"] = tends_tl[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = diags_tl[n + "_i"]
+    return s, tends_tl, diags_tl
+
+
+def test_ad_forward_matches_nl(state_with_qsat, constants):
+    """The AD forward recomputation reproduces the NL outputs."""
+    _, state, dt = state_with_qsat
+    tends_nl, diags_nl = cloudsc2_nl(state, dt, constants)
+    s, _, _ = _ad_state(state, dt, constants)
+    tends_ad, diags_ad = cloudsc2_ad(s, dt, constants)
+    for n in ("t", "q", "ql", "qi"):
+        np.testing.assert_allclose(
+            np.asarray(tends_ad[n]), np.asarray(tends_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
+        )
+    for n in ("clc", "fplsl", "fplsn"):
+        np.testing.assert_allclose(
+            np.asarray(diags_ad[n]), np.asarray(diags_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
+        )
+
+
+def test_symmetry_with_regularization(state_with_qsat, constants):
+    """The reference acceptance gate with LREGCL=True (driver default):
+    <Mx,Mx> == <x,M*(Mx)> to < 1e4 machine epsilons
+    (reference adjoint/validation.py:155-165)."""
+    _, state, dt = state_with_qsat
+    st = SymmetryTest(constants=constants)
+    err = st(state, dt, verbose=True)
+    assert err < 1e4
+
+
+def test_symmetry_without_regularization(state_with_qsat):
+    _, state, dt = state_with_qsat
+    c = make_constants(lphylin=True, ldrain1d=False, lregcl=False)
+    st = SymmetryTest(constants=c)
+    err = st(state, dt, verbose=False)
+    assert err < 1e4
+
+
+def test_symmetry_exactness_f64(state_with_qsat, constants):
+    """Because the adjoint is the exact transpose of the TL, the norms agree
+    far tighter than the reference's 1e4-epsilon gate."""
+    _, state, dt = state_with_qsat
+    st = SymmetryTest(constants=constants)
+    norm1, norm2 = st.run(state, dt)
+    err = st.validate(norm1, norm2, verbose=False)
+    assert err < 200.0, err  # ~1e-13 relative in f64
+
+
+def test_ad_matches_vjp_without_regularization(state_with_qsat):
+    """With LREGCL=False the adjoint equals jax.vjp of the NL scheme applied
+    to the same cotangent seeds (the reference cannot run this check)."""
+    _, state, dt = state_with_qsat
+    c = make_constants(lphylin=True, ldrain1d=False, lregcl=False)
+    s, tends_tl, diags_tl = _ad_state(state, dt, c)
+    tends_ad, diags_ad = cloudsc2_ad(s, dt, c)
+
+    primals = {n: state[n] for n in INCREMENT_FIELDS}
+
+    def f(p):
+        st = dict(state)
+        st.update(p)
+        return cloudsc2_nl(st, dt, c)
+
+    (tends_nl, diags_nl), vjp_fn = jax.vjp(f, primals)
+    seed_tends = {k: jnp.zeros_like(v) for k, v in tends_nl.items()}
+    seed_diags = {k: jnp.zeros_like(v) for k, v in diags_nl.items()}
+    for n in ("t", "q", "ql", "qi"):
+        seed_tends[n] = tends_tl[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        seed_diags[n] = diags_tl[n + "_i"]
+    (cot,) = vjp_fn((seed_tends, seed_diags))
+
+    for n in ("t", "q", "ql", "qi", "ap", "qsat", "lude", "mfu", "mfd", "aph"):
+        a = np.asarray(diags_ad[n + "_i"])
+        b = np.asarray(cot[n])
+        scale = np.abs(b).max() + 1e-300
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
+    for n in ("t", "q", "ql", "qi"):
+        a = np.asarray(tends_ad["cml_" + n + "_i"])
+        b = np.asarray(cot["tnd_cml_" + n])
+        scale = np.abs(b).max() + 1e-300
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
+
+
+def test_ad_zero_seeds_give_zero_cotangents(state_with_qsat, constants):
+    _, state, dt = state_with_qsat
+    s, _, _ = _ad_state(state, dt, constants)
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n + "_i"] = jnp.zeros_like(s["tnd_" + n + "_i"])
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = jnp.zeros_like(s[n + "_i"])
+    tends_ad, diags_ad = cloudsc2_ad(s, dt, constants)
+    for n in ("t", "q", "ql", "qi"):
+        assert np.abs(np.asarray(tends_ad["cml_" + n + "_i"])).max() == 0.0
+    for n in ("ap", "aph", "t", "q", "qsat", "ql", "qi", "lu", "lude", "mfd", "mfu", "supsat"):
+        assert np.abs(np.asarray(diags_ad[n + "_i"])).max() == 0.0
