@@ -1,0 +1,118 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Mesh construction and state sharding for column-parallel CLOUDSC2.
+
+Layout contract (see :mod:`cloudsc2_tpu.grid`): full-level fields are
+``(nlev, ncols)``, interface fields ``(nlev + 1, ncols)``, the eta coordinate
+``(nlev,)``.  Columns — the trailing, lane-friendly axis — are the only
+sharded axis; levels are always local because the scheme is a strict
+top-down recurrence (reference ``nonlinear/_stencils/cloudsc2.py:93-113,
+382-388``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: mesh axis names: ``node`` spans hosts (DCN), ``device`` spans chips in a
+#: slice (ICI).  Columns shard over both.
+MESH_AXES = ("node", "device")
+
+
+def initialize_distributed(**kwargs: Any) -> None:
+    """Initialize multi-host JAX (no-op when single-process).
+
+    The reference has no multi-process support (SURVEY.md §2.3); this is the
+    TPU-native path to N hosts: call once per process before building the
+    mesh, with coordinator address/process counts from the launcher
+    environment (``jax.distributed.initialize`` auto-detects on TPU pods).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process (no coordinator configured): run on local devices
+        pass
+
+
+def column_mesh(
+    n_devices: int | None = None, *, n_nodes: int | None = None
+) -> Mesh:
+    """Build the 2-D ``('node', 'device')`` mesh over the first ``n_devices``.
+
+    ``n_nodes`` defaults to ``jax.process_count()`` so the outer axis follows
+    host boundaries (collectives within a host ride ICI, across hosts DCN).
+    With ``n_devices`` given (e.g. in tests or dry runs) the devices are
+    factored ``(n_nodes, n_devices // n_nodes)``.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_nodes is None:
+        n_nodes = jax.process_count()
+        if n_devices % n_nodes != 0:
+            n_nodes = 1
+    if n_devices % n_nodes != 0:
+        raise ValueError(f"{n_devices} devices not divisible by {n_nodes} nodes")
+    grid = np.asarray(devices[:n_devices]).reshape(n_nodes, n_devices // n_nodes)
+    return Mesh(grid, MESH_AXES)
+
+
+def column_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``(levels, columns)`` fields: columns over both mesh axes."""
+    return NamedSharding(mesh, P(None, MESH_AXES))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (eta coordinate, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(state: Dict[str, Any], mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Per-field shardings: 2-D fields column-sharded, 1-D fields replicated."""
+    col = column_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    return {k: (col if np.ndim(v) == 2 else rep) for k, v in state.items()}
+
+
+def shard_state(state: Dict[str, Any], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Place a state dict onto the mesh with column sharding."""
+    shardings = state_shardings(state, mesh)
+    return {k: jax.device_put(v, shardings[k]) for k, v in state.items()}
+
+
+def pad_columns(
+    state: Dict[str, Any], multiple: int
+) -> Tuple[Dict[str, Any], int]:
+    """Pad the column axis of every 2-D field up to ``multiple``.
+
+    Padding replicates column 0 (a valid physical column, so padded lanes
+    never produce NaN/inf and never affect real columns — columns are
+    independent).  Returns ``(padded_state, original_ncols)``.
+    """
+    ncols = next(v.shape[1] for v in state.values() if np.ndim(v) == 2)
+    padded = (-(-ncols // multiple)) * multiple
+    if padded == ncols:
+        return dict(state), ncols
+    pad = padded - ncols
+
+    def _pad(v: Any) -> Any:
+        if np.ndim(v) != 2:
+            return v
+        if isinstance(v, np.ndarray):
+            return np.concatenate([v, np.repeat(v[:, :1], pad, axis=1)], axis=1)
+        import jax.numpy as jnp
+
+        return jnp.concatenate([v, jnp.repeat(v[:, :1], pad, axis=1)], axis=1)
+
+    return {k: _pad(v) for k, v in state.items()}, ncols
+
+
+def unpad_columns(fields: Dict[str, Any], ncols: int) -> Dict[str, Any]:
+    """Strip column padding from output field dicts."""
+    return {k: (v[..., :ncols] if np.ndim(v) == 2 else v) for k, v in fields.items()}

