@@ -287,6 +287,31 @@ def write_input_h5(
                 f.create_dataset(prefix + field.name, data=data)
 
 
+def write_reference_h5(
+    path: str,
+    tends: Dict[str, np.ndarray],
+    diags: Dict[str, np.ndarray],
+) -> None:
+    """Write golden tendencies/diagnostics in the reference output schema
+    (datasets as in ``data/reference_double.h5``: ``TENDENCY_LOC_*``,
+    ``PCLC``, ``PCOVPTOT``, ``PFHPSL/N``, ``PFPLSL/N`` + ``KLON``/``KLEV``)."""
+    import h5py
+
+    nlev, ncols = tends["t"].shape
+    with h5py.File(path, "w") as f:
+        f.create_dataset("KLEV", data=np.array([nlev], dtype=np.int64))
+        f.create_dataset("KLON", data=np.array([ncols], dtype=np.int64))
+        for name, (h5_name, species, _s) in REFERENCE_TENDENCIES.items():
+            if species is not None:
+                if h5_name not in f:
+                    f.create_dataset(h5_name, shape=(5, nlev, ncols), dtype=np.float64)
+                f[h5_name][species] = np.asarray(tends[name], dtype=np.float64)
+            else:
+                f.create_dataset(h5_name, data=np.asarray(tends[name], dtype=np.float64))
+        for name, (h5_name, _sp, _s) in REFERENCE_DIAGNOSTICS.items():
+            f.create_dataset(h5_name, data=np.asarray(diags[name], dtype=np.float64))
+
+
 def load_input(
     path: str, ncols: int | None = None, dtype: Any = np.float64
 ) -> Tuple[Grid, Dict[str, np.ndarray], float, Dict[str, Any]]:

@@ -1,0 +1,128 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Performance reporting: stdout summary + CSV writers.
+
+Rebuild of ``ifs_physics_common.utils.output`` as used by the reference
+drivers (``drivers/run_nonlinear.py:121-137, 221-232``;
+``run_taylor_test.py:185-196``; contract in SURVEY.md §2.2):
+``print_performance`` derives runtime mean ± stddev and MFLOPS mean ±
+stddev from the per-run runtimes; the CSV writers append one row keyed by
+host, precision, variant (``{nl,tl,ad}-{backend}``), grid size, threads and
+num-runs.  The per-stencil variant writes one column per kernel label from
+the :class:`~cloudsc2_tpu.utils.timing.Timer` accumulator (the analogue of
+GT4Py ``exec_info``), filtered by name patterns.
+
+The reference's per-column flop count lives in the external package; we
+document our own estimate here (SURVEY.md §7.3 "MFLOPS parity"):
+``FLOPS_PER_COLUMN = 250 * nlev`` — ~250 floating ops per grid point through
+the NL scheme (counted from the ~200 arithmetic ops + transcendental
+expansions in ``nl_level``).  Columns/sec is the primary metric.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+#: documented per-column flop estimate for the NL scheme at nlev levels
+FLOPS_PER_POINT = 250
+
+
+def performance_stats(
+    nx: int, runtimes_ms: Sequence[float], nlev: int = 137
+) -> Tuple[float, float, float, float]:
+    """Return ``(runtime_mean_ms, runtime_stddev_ms, mflops_mean, mflops_stddev)``."""
+    rt = np.asarray(runtimes_ms, dtype=np.float64)
+    mean = float(rt.mean())
+    std = float(rt.std(ddof=1)) if rt.size > 1 else 0.0
+    flops = FLOPS_PER_POINT * nlev * nx
+    mflops = flops / (rt * 1e-3) / 1e6
+    return mean, std, float(mflops.mean()), float(mflops.std(ddof=1)) if rt.size > 1 else 0.0
+
+
+def print_performance(
+    nx: int, runtimes_ms: Sequence[float], nlev: int = 137
+) -> Tuple[float, float, float, float]:
+    """Print and return runtime / MFLOPS statistics
+    (reference ``run_nonlinear.py:121``)."""
+    mean, std, mf_mean, mf_std = performance_stats(nx, runtimes_ms, nlev)
+    n = len(runtimes_ms)
+    print(
+        f"Performance over {n} runs: {mean:.3f} ± {std:.3f} ms "
+        f"({mf_mean:.2f} ± {mf_std:.2f} MFLOPS)"
+    )
+    return mean, std, mf_mean, mf_std
+
+
+def _append_row(path: str, header: Sequence[str], row: Sequence) -> None:
+    exists = os.path.exists(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(header)
+        w.writerow(row)
+
+
+def write_performance_to_csv(
+    path: str,
+    *,
+    host_name: str,
+    precision: str,
+    variant: str,
+    num_cols: int,
+    num_threads: int,
+    num_runs: int,
+    runtime_mean: float,
+    runtime_stddev: float,
+    mflops_mean: float,
+    mflops_stddev: float,
+) -> None:
+    """Append one aggregate-performance row (reference CSV schema,
+    ``run_nonlinear.py:123-137``)."""
+    _append_row(
+        path,
+        [
+            "date", "host", "precision", "variant", "num_cols", "num_threads",
+            "num_runs", "runtime_mean", "runtime_stddev", "mflops_mean",
+            "mflops_stddev",
+        ],
+        [
+            _today(), host_name, precision, variant, num_cols, num_threads,
+            num_runs, runtime_mean, runtime_stddev, mflops_mean, mflops_stddev,
+        ],
+    )
+
+
+def write_stencils_performance_to_csv(
+    path: str,
+    *,
+    host_name: str,
+    precision: str,
+    backend: str,
+    num_cols: int,
+    num_threads: int,
+    num_runs: int,
+    exec_info: Dict[str, float],
+    key_patterns: Sequence[str],
+) -> None:
+    """Append one per-kernel-timings row, filtered by ``key_patterns``
+    (reference ``run_nonlinear.py:221-232``; timings in ms)."""
+    selected = {
+        k: v for k, v in exec_info.items() if any(p in k for p in key_patterns)
+    }
+    header = ["date", "host", "precision", "backend", "num_cols", "num_threads", "num_runs"]
+    row: list = [_today(), host_name, precision, backend, num_cols, num_threads, num_runs]
+    for k in sorted(selected):
+        header.append(k)
+        row.append(selected[k])
+    _append_row(path, header, row)
+
+
+def _today() -> str:
+    import datetime
+
+    return datetime.date.today().isoformat()

@@ -1,0 +1,127 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Framework layer: config, timing, output, validation, components, drivers."""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from cloudsc2_tpu.config import Config, DataTypes, IOConfig
+from cloudsc2_tpu.utils.output import (
+    performance_stats,
+    write_performance_to_csv,
+    write_stencils_performance_to_csv,
+)
+from cloudsc2_tpu.utils.timing import Timer, timing
+from cloudsc2_tpu.utils.validation import validate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_timer_accumulates():
+    Timer.reset()
+    with timing("unit"):
+        time.sleep(0.01)
+    with timing("unit"):
+        time.sleep(0.01)
+    assert Timer.get_time("unit", "ms") >= 20.0
+    assert Timer.get_count("unit") == 2
+    Timer.reset()
+    assert Timer.get_time("unit", "ms") == 0.0
+
+
+def test_performance_stats():
+    mean, std, mf, _ = performance_stats(100, [10.0, 10.0], nlev=137)
+    assert mean == 10.0 and std == 0.0
+    # 250 flops/point * 137 levels * 100 cols / 10ms = 342.5 MFLOPS
+    assert abs(mf - 342.5) < 1e-6
+
+
+def test_csv_writers(tmp_path):
+    f = str(tmp_path / "perf.csv")
+    for _ in range(2):
+        write_performance_to_csv(
+            f, host_name="h", precision="double", variant="nl-jax:cpu",
+            num_cols=100, num_threads=1, num_runs=2, runtime_mean=1.0,
+            runtime_stddev=0.1, mflops_mean=5.0, mflops_stddev=0.5,
+        )
+    lines = open(f).read().strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith("date,host,precision")
+
+    f2 = str(tmp_path / "stencils.csv")
+    write_stencils_performance_to_csv(
+        f2, host_name="h", precision="double", backend="jax:cpu",
+        num_cols=100, num_threads=1, num_runs=2,
+        exec_info={"cloudsc2_nl": 5.0, "saturation": 1.0, "other": 9.0},
+        key_patterns=["cloudsc", "saturation"],
+    )
+    header = open(f2).read().splitlines()[0]
+    assert "cloudsc2_nl" in header and "saturation" in header and "other" not in header
+
+
+def test_validate_reports_failures(capsys):
+    a = {"x": np.ones((3, 4)), "y": np.zeros(2)}
+    b = {"x": np.ones((3, 4)), "y": np.full(2, 1e-6)}
+    failing = validate(a, b, atol=1e-9, rtol=1e-9)
+    assert failing == ["y"]
+    out = capsys.readouterr().out
+    assert "Validation of x: PASSED" in out and "FAILED" in out
+    assert validate(a, {"x": a["x"]}, atol=1, rtol=1, verbose=False) == ["y"]
+
+
+def test_config_builders():
+    c = Config().with_precision("single").with_num_cols(42).with_checks(True)
+    assert c.precision == "single" and c.dtype == np.float32
+    assert c.num_cols == 42 and c.jax_config.validate_args
+    assert c.jax_config.dtypes.float == np.float32
+    with pytest.raises(ValueError):
+        c.with_precision("half")
+    io = IOConfig().with_host_name("tpu-host")
+    assert io.host_name == "tpu-host"
+    assert DataTypes().float == np.float64
+
+
+def test_component_properties_and_checks(synth, constants):
+    from cloudsc2_tpu.components import Cloudsc2NL, EtaLevels, Saturation
+
+    import jax.numpy as jnp
+
+    grid, state, dt = synth
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+    eta = EtaLevels(grid, constants, enable_checks=True)
+    state.update(eta(state))
+    sat = Saturation(grid, constants, enable_checks=True)
+    state.update(sat(state))
+    nl = Cloudsc2NL(grid, constants, enable_checks=True)
+    assert set(nl.tendency_properties) == {"t", "q", "ql", "qi"}
+    assert nl.input_properties["aph"]["dims"] == ("levels+1", "columns")
+    assert nl.input_properties["ap"]["units"] == "Pa"
+    tends, diags = nl(state, dt)
+    assert set(diags) == {"clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"}
+
+    bad = dict(state)
+    bad["ap"] = bad["ap"][:-1]
+    with pytest.raises(ValueError, match="shape"):
+        nl(bad, dt)
+    del bad["ap"]
+    with pytest.raises(KeyError, match="missing input"):
+        nl(bad, dt)
+
+
+@pytest.mark.parametrize("precision", ["double", "single"])
+def test_run_nonlinear_driver_validates(precision):
+    """End-to-end CLI: NL run validates against the oracle golden files."""
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "drivers", "run_nonlinear.py"),
+            "--backend", "cpu", "--num-cols", "100", "--precision", precision,
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "HOORAY" in proc.stdout

@@ -10,7 +10,7 @@ from cloudsc2_tpu import make_constants
 from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
 from cloudsc2_tpu.physics.saturation import saturation
 
-from .oracle import oracle_nonlinear, oracle_saturation
+from cloudsc2_tpu.oracle import oracle_nonlinear, oracle_saturation
 
 
 def test_saturation_matches_oracle(state_with_qsat, constants):
