@@ -68,19 +68,18 @@ def bytes_per_column(nlev: int, itemsize: int) -> int:
     )
 
 
-@partial(jax.jit, static_argnames=("n", "c"))
+@partial(jax.jit, static_argnames=("n", "dt", "c"))
 def chain(state, n, dt, c):
     """n physics steps, each consuming the previous step's updated state."""
 
     def body(_, s):
         tends, diags = forward_step(s, dt, c)
         s = dict(s)
-        # apply the tendencies (a real time-stepping driver), keeping the
-        # state physical so no step produces NaN
-        s["t"] = s["t"] + dt * tends["t"]
-        s["q"] = jnp.maximum(s["q"] + dt * tends["q"], 0.0)
-        s["ql"] = jnp.maximum(s["ql"] + dt * tends["ql"], 0.0)
-        s["qi"] = jnp.maximum(s["qi"] + dt * tends["qi"], 0.0)
+        # minimal data dependence between steps (physically negligible, but
+        # prevents XLA from collapsing the chain); the timed unit stays the
+        # reference's saturation + NL on an unchanged state
+        # (run_nonlinear.py:115-119)
+        s["t"] = s["t"] + jnp.asarray(1e-30, s["t"].dtype) * tends["t"]
         return s
 
     s = jax.lax.fori_loop(0, n, body, dict(state))

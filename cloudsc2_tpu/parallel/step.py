@@ -37,15 +37,31 @@ from cloudsc2_tpu.validation.symmetry import (
 Array = jnp.ndarray
 
 
+def _nl_impl(state: Dict[str, Array], dt: float, c: Constants, impl: str):
+    """Select the NL implementation: hand-written Pallas kernel on TPU for
+    f32 with lane-aligned columns, ``lax.scan`` otherwise (CPU, f64, or
+    ragged column counts)."""
+    if impl == "pallas" or (
+        impl == "auto"
+        and state["ap"].dtype == jnp.float32
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from cloudsc2_tpu.pallas.nonlinear import WB, cloudsc2_nl_pallas
+
+        if state["ap"].shape[1] % (8 * WB) == 0:
+            return cloudsc2_nl_pallas(state, dt, c)
+    return cloudsc2_nl(state, dt, c)
+
+
 def forward_step(
-    state: Dict[str, Array], dt: float, c: Constants
+    state: Dict[str, Array], dt: float, c: Constants, impl: str = "auto"
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Saturation + nonlinear scheme (the reference hot loop,
     ``drivers/run_nonlinear.py:115-119``)."""
     s = dict(state)
     s["eta"] = eta_levels(s["ap"], s["aph"])
     s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
-    return cloudsc2_nl(s, dt, c)
+    return _nl_impl(s, dt, c, impl)
 
 
 def full_step(

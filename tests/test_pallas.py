@@ -1,0 +1,54 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Pallas NL kernel vs the lax.scan path (interpret mode on CPU).
+
+The kernel shares its per-level physics (``nl_level``) with the scan path,
+so this test validates the kernel's memory orchestration: level blocking,
+VMEM carry across sequential grid steps, column tiling, edge padding.
+On real TPU hardware the same comparison runs in compiled mode (see
+bench.py history); differences vs the scan path are pure f32 rounding from
+a different reduction/layout order.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudsc2_tpu import make_constants
+from cloudsc2_tpu.physics.diagnostics import eta_levels
+from cloudsc2_tpu.physics.nonlinear import cloudsc2_nl
+from cloudsc2_tpu.physics.saturation import saturation
+from cloudsc2_tpu.pallas.nonlinear import WB, cloudsc2_nl_pallas
+
+
+@pytest.fixture(scope="module")
+def f32_state():
+    from cloudsc2_tpu import iox
+
+    c = make_constants(lphylin=True, ldrain1d=False)
+    _, state, dt = iox.synthesize_input(ncols=8 * WB, nlev=137, seed=0, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in state.items()}
+    s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=True, c=c)
+    return s, dt, c
+
+
+def test_pallas_nl_matches_scan(f32_state):
+    s, dt, c = f32_state
+    tends_ref, diags_ref = cloudsc2_nl(s, dt, c)
+    tends, diags = cloudsc2_nl_pallas(s, dt, c, interpret=True)
+    for n in tends_ref:
+        np.testing.assert_allclose(
+            np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=2e-5, atol=1e-8, err_msg=n
+        )
+    for n in diags_ref:
+        np.testing.assert_allclose(
+            np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=2e-5, atol=1e-6, err_msg=n
+        )
+
+
+def test_pallas_nl_rejects_ragged_columns(f32_state):
+    s, dt, c = f32_state
+    bad = {k: (v if v.ndim < 2 else v[:, : 8 * WB - 8]) for k, v in s.items()}
+    with pytest.raises(ValueError, match="multiple"):
+        cloudsc2_nl_pallas(bad, dt, c, interpret=True)
