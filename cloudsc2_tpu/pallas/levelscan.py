@@ -1,0 +1,132 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Generic Pallas harness for vertical-scan column physics.
+
+All CLOUDSC2 schemes share one execution shape: a strictly sequential
+top-down sweep over levels with a small per-column carry, over thousands of
+independent columns (SURVEY.md §5 "long-context" analogue).  This harness
+factors the TPU memory orchestration out of the physics:
+
+* ``(nlev, ncols)`` fields are viewed ``(nlev, 8, ncols // 8)`` so a level
+  slice is a native ``(8, 128k)`` VPU tile;
+* the kernel grid is ``(column_tiles, level_blocks)`` — the level axis
+  iterates fastest, TPU grid execution is sequential, and the carry lives
+  in a VMEM scratch persisting across level blocks;
+* every level block streams ``kb`` levels of all inputs HBM→VMEM
+  (double-buffered by the pallas pipeline) and writes all outputs: exactly
+  one HBM round trip, the roofline for these memory-bound schemes;
+* per-level scalars (eta coordinate, ``scalm``) ride in SMEM.
+
+The per-level physics body is the same function used by the ``lax.scan``
+reference path, so kernels cannot drift from their f64 oracle.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+
+def _pad_levels(x: Array, kp: int) -> Array:
+    return jnp.pad(x, ((0, kp - x.shape[0]),) + ((0, 0),) * (x.ndim - 1), mode="edge")
+
+
+def level_scan_pallas(
+    body: Callable,
+    *,
+    level_inputs: Dict[str, Array],
+    col_inputs: Dict[str, Array],
+    scalar_inputs: Dict[str, Array],
+    out_names: Sequence[str],
+    ncarry: int,
+    kb: int,
+    wb: int,
+    interpret: bool = False,
+) -> Dict[str, Array]:
+    """Run ``body`` as a Pallas level scan.
+
+    ``body(carry, x, col, k)`` receives the carry (tuple of ``ncarry``
+    ``(8, wb)`` arrays, zero-initialized at the top), the per-level input
+    dict ``x`` (``(8, wb)`` tiles plus the scalar inputs as 0-d values),
+    the per-column dict ``col``, and returns ``(carry, outs)`` with
+    ``outs`` keyed by ``out_names``.  Returns the stacked outputs as
+    ``(nlev, ncols)`` arrays.
+    """
+    names = tuple(level_inputs)
+    col_names = tuple(col_inputs)
+    scal_names = tuple(scalar_inputs)
+    out_names = tuple(out_names)
+
+    sample = next(iter(level_inputs.values()))
+    nlev, ncols = sample.shape
+    dtype = sample.dtype
+    if ncols % (8 * wb) != 0:
+        raise ValueError(f"ncols={ncols} must be a multiple of {8 * wb}")
+    w = ncols // 8
+    nj = w // wb
+    kp = math.ceil(nlev / kb) * kb
+    nkb = kp // kb
+
+    def kernel(*refs):
+        n_s, n_l, n_c, n_o = len(scal_names), len(names), len(col_names), len(out_names)
+        scal_refs = refs[:n_s]
+        level_refs = refs[n_s : n_s + n_l]
+        col_refs = refs[n_s + n_l : n_s + n_l + n_c]
+        out_refs = refs[n_s + n_l + n_c : n_s + n_l + n_c + n_o]
+        carry_ref = refs[-1]
+
+        kb_id = pl.program_id(1)
+
+        @pl.when(kb_id == 0)
+        def _init():
+            carry_ref[...] = jnp.zeros_like(carry_ref)
+
+        col = {n: r[...] for n, r in zip(col_names, col_refs)}
+
+        def loop(i, carry):
+            x = {n: r[i] for n, r in zip(names, level_refs)}
+            g = kb_id * kb + i
+            for n, r in zip(scal_names, scal_refs):
+                x[n] = r[g, 0]
+            carry, outs = body(carry, x, col, g)
+            for n, r in zip(out_names, out_refs):
+                r[i] = outs[n]
+            return carry
+
+        carry = tuple(carry_ref[j] for j in range(ncarry))
+        carry = jax.lax.fori_loop(0, kb, loop, carry)
+        for j in range(ncarry):
+            carry_ref[j] = carry[j]
+
+    level_spec = pl.BlockSpec(
+        (kb, 8, wb), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
+    )
+    col_spec = pl.BlockSpec((8, wb), lambda j, k: (0, j), memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    ins = (
+        [_pad_levels(scalar_inputs[n].astype(dtype), kp).reshape(kp, 1) for n in scal_names]
+        + [_pad_levels(level_inputs[n], kp).reshape(kp, 8, w) for n in names]
+        + [col_inputs[n].reshape(8, w) for n in col_names]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nj, nkb),
+        in_specs=[smem_spec] * len(scal_names)
+        + [level_spec] * len(names)
+        + [col_spec] * len(col_names),
+        out_specs=[level_spec] * len(out_names),
+        out_shape=[jax.ShapeDtypeStruct((kp, 8, w), dtype) for _ in out_names],
+        scratch_shapes=[pltpu.VMEM((ncarry, 8, wb), dtype)],
+        interpret=interpret,
+    )(*ins)
+
+    return {n: o.reshape(kp, ncols)[:nlev] for n, o in zip(out_names, outs)}

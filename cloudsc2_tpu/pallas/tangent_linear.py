@@ -1,0 +1,135 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Pallas TPU kernel for the tangent-linear CLOUDSC2 scheme.
+
+TPU-native realization of the reference ``cloudsc2_tl`` stencil
+(``physics/tangent_linear/_stencils/cloudsc2.py:23-774``) on the level-scan
+harness; the per-level physics is
+:func:`cloudsc2_tpu.physics.tangent_linear.tl_level`, shared with the
+``lax.scan`` oracle path.
+
+Twice the field count of the NL kernel (33 level inputs, 16 outputs, carry
+of 6), so the VMEM budget forces a narrower column tile: ``WB = 256``
+(49 double-buffered (16, 8, 256) f32 blocks ≈ 13 MB).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
+from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.physics.nonlinear import tropopause_eta
+from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
+
+Array = jnp.ndarray
+
+KB = 16
+WB = 256
+
+#: forward per-level inputs (as the NL kernel, but with raw t/tnd_cml_t for
+#: the tangent of the first guess) + their perturbations
+LEVEL_INPUTS = (
+    "ap", "aph0", "aph1", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
+    "qsat", "supsat", "t_fg", "tnd_cml_q", "tnd_cml_qi", "tnd_cml_ql",
+    "ap_i", "aph0_i", "aph1_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
+    "q_i", "qi_i", "ql_i", "qsat_i", "supsat_i", "t_i", "tnd_cml_q_i",
+    "tnd_cml_qi_i", "tnd_cml_ql_i", "tnd_cml_t_i",
+)
+LEVEL_OUTPUTS = (
+    "tnd_t", "tnd_t_i", "tnd_q", "tnd_q_i", "tnd_ql", "tnd_ql_i",
+    "tnd_qi", "tnd_qi_i", "clc", "clc_i", "covptot", "covptot_i",
+    "fplsl", "fplsl_i", "fplsn", "fplsn_i",
+)
+
+
+@partial(jax.jit, static_argnames=("dt", "c", "interpret"))
+def cloudsc2_tl_pallas(
+    state: Dict[str, Array], dt: float, c: Constants, interpret: bool = False
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Drop-in replacement for :func:`cloudsc2_tpu.physics.tangent_linear.
+    cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns)."""
+    nlev, ncols = state["ap"].shape
+    dtype = state["ap"].dtype
+
+    eta = state["eta"].astype(dtype)
+    scalm = jnp.asarray(0.9, dtype) * jnp.maximum(eta - 0.2, 1e-12) ** 0.2
+    t_fg = state["t"] + dt * state["tnd_cml_t"]
+    trpaus = tropopause_eta(eta, t_fg)
+    lu, lu_i = state["lu"], state["lu_i"]
+
+    level_inputs = {
+        "ap": state["ap"],
+        "aph0": state["aph"][:-1],
+        "aph1": state["aph"][1:],
+        "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
+        "lude": state["lude"],
+        "mfd": state["mfd"],
+        "mfu": state["mfu"],
+        "q": state["q"],
+        "qi": state["qi"],
+        "ql": state["ql"],
+        "qsat": state["qsat"],
+        "supsat": state["supsat"],
+        "t_fg": t_fg,
+        "tnd_cml_q": state["tnd_cml_q"],
+        "tnd_cml_qi": state["tnd_cml_qi"],
+        "tnd_cml_ql": state["tnd_cml_ql"],
+        "ap_i": state["ap_i"],
+        "aph0_i": state["aph_i"][:-1],
+        "aph1_i": state["aph_i"][1:],
+        "lu_next_i": jnp.concatenate([lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0),
+        "lude_i": state["lude_i"],
+        "mfd_i": state["mfd_i"],
+        "mfu_i": state["mfu_i"],
+        "q_i": state["q_i"],
+        "qi_i": state["qi_i"],
+        "ql_i": state["ql_i"],
+        "qsat_i": state["qsat_i"],
+        "supsat_i": state["supsat_i"],
+        "t_i": state["t_i"],
+        "tnd_cml_q_i": state["tnd_cml_q_i"],
+        "tnd_cml_qi_i": state["tnd_cml_qi_i"],
+        "tnd_cml_ql_i": state["tnd_cml_ql_i"],
+        "tnd_cml_t_i": state["tnd_cml_t_i"],
+    }
+
+    def body(carry, x, col, _g):
+        carry, outs = tl_level(
+            TLCarry(*carry), x, col["aph_s"], col["aph_s_i"], col["trpaus"], dt, c
+        )
+        return tuple(carry), outs
+
+    named = level_scan_pallas(
+        body,
+        level_inputs=level_inputs,
+        col_inputs={
+            "trpaus": trpaus,
+            "aph_s": state["aph"][-1],
+            "aph_s_i": state["aph_i"][-1],
+        },
+        scalar_inputs={"eta": eta, "scalm": scalm},
+        out_names=LEVEL_OUTPUTS,
+        ncarry=6,
+        kb=KB,
+        wb=WB,
+        interpret=interpret,
+    )
+
+    zrow = jnp.zeros((1, ncols), dtype)
+    tends = {}
+    for name in ("t", "q", "ql", "qi"):
+        tends[name] = named["tnd_" + name]
+        tends[name + "_i"] = named["tnd_" + name + "_i"]
+    diags = {n: named[n] for n in ("clc", "clc_i", "covptot", "covptot_i")}
+    for n in ("fplsl", "fplsl_i", "fplsn", "fplsn_i"):
+        diags[n] = jnp.concatenate([zrow, named[n]], axis=0)
+    diags["fhpsl"] = -diags["fplsl"] * c.RLVTT
+    diags["fhpsl_i"] = -diags["fplsl_i"] * c.RLVTT
+    diags["fhpsn"] = -diags["fplsn"] * c.RLSTT
+    diags["fhpsn_i"] = -diags["fplsn_i"] * c.RLSTT
+    return tends, diags

@@ -100,9 +100,11 @@ def tl_level(
 
     # dqs/dT correction factor; always the tanh branch here (reference :189-222)
     cold = t < c.RTT
-    sech = 1.0 / jnp.cosh(0.17 * (t - c.RLPTRC))
-    fwat = jnp.where(cold, 0.545 * (jnp.tanh(0.17 * (t - c.RLPTRC)) + 1.0), 1.0)
-    fwat_i = jnp.where(cold, 0.545 * 0.17 * t_i * sech**2.0, 0.0)
+    # sech^2 = 1 - tanh^2 (the reference's 1/cosh^2, :196; tanh-based so the
+    # Pallas/Mosaic lowering needs no cosh primitive)
+    th = jnp.tanh(0.17 * (t - c.RLPTRC))
+    fwat = jnp.where(cold, 0.545 * (th + 1.0), 1.0)
+    fwat_i = jnp.where(cold, 0.545 * 0.17 * t_i * (1.0 - th * th), 0.0)
     z3es = jnp.where(cold, c.R3IES, c.R3LES)
     z4es = jnp.where(cold, c.R4IES, c.R4LES)
     foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) / (t - z4es))

@@ -52,3 +52,23 @@ def test_pallas_nl_rejects_ragged_columns(f32_state):
     bad = {k: (v if v.ndim < 2 else v[:, : 8 * WB - 8]) for k, v in s.items()}
     with pytest.raises(ValueError, match="multiple"):
         cloudsc2_nl_pallas(bad, dt, c, interpret=True)
+
+
+def test_pallas_tl_matches_scan(f32_state):
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+    s, dt, c = f32_state
+    s = dict(s)
+    s.update(state_increment(s, 0.01))
+    tends_ref, diags_ref = cloudsc2_tl(s, dt, c)
+    tends, diags = cloudsc2_tl_pallas(s, dt, c, interpret=True)
+    for n in tends_ref:
+        np.testing.assert_allclose(
+            np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=3e-5, atol=1e-7, err_msg=n
+        )
+    for n in diags_ref:
+        np.testing.assert_allclose(
+            np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=3e-5, atol=1e-5, err_msg=n
+        )
