@@ -8,6 +8,8 @@ backends (SURVEY.md §2.4): the stencil collections become Pallas kernels
 that keep the sequential vertical recurrence VMEM-resident while columns
 fill the VPU's (8, 128) vector registers.
 """
+from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
 from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
+from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 
-__all__ = ["cloudsc2_nl_pallas"]
+__all__ = ["cloudsc2_nl_pallas", "cloudsc2_tl_pallas", "cloudsc2_ad_pallas"]

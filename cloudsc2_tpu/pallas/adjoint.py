@@ -1,0 +1,201 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Pallas TPU kernels for the adjoint CLOUDSC2 scheme.
+
+TPU-native realization of the reference ``cloudsc2_ad`` stencil
+(``physics/adjoint/_stencils/cloudsc2.py:24-996``) as two level-scan
+kernels, mirroring its two ``computation`` phases:
+
+1. **Forward sweep** — the NL Pallas kernel with ``with_trajectory=True``:
+   recomputes the nonlinear trajectory and stores, per level, only the
+   3-vector carry *entering* the level (rain/snow flux, precip cover).
+   The reference instead materializes ~35 full 3-D temporaries
+   (``adjoint/_stencils/cloudsc2.py:133-476``); storing the carry alone is
+   an O(35→3) HBM saving because everything else is recomputed in 2.
+2. **Reverse sweep** — a bottom-up level scan (``reverse=True``) whose body
+   is the *transpose of the tangent-linear level function*, obtained by
+   ``jax.vjp`` of :func:`~cloudsc2_tpu.physics.tangent_linear.tl_level` at
+   trace time inside the kernel: the TL is exactly linear in the
+   perturbation arguments, so the VJP at zero is the exact adjoint —
+   including the four ``LREGCL`` regularization factors the reference
+   mirrors by hand (``:585-587, 751-757, 774-779, 829-832, 896-902``).
+   Each reverse level re-runs the TL forward from the stored carry (the
+   branch-consistent recompute of the reference's BACKWARD sweep) and
+   back-propagates the 3 carry cotangents held in VMEM scratch.
+
+Restrictions (fall back to :func:`cloudsc2_tpu.physics.adjoint.cloudsc2_ad`
+otherwise): f32, lane-aligned columns, ``LPHYLIN=True`` (so the NL forward
+trajectory coincides with the TL forward — the reference's linearized
+physics configuration) and ``LEVAPLS2=False`` (the surface-pressure
+cotangent path is inactive, as in the reference default,
+``iox.py:208-209``).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
+from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas, tropopause_eta
+from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
+
+Array = jnp.ndarray
+
+KB = 16
+WB = 256
+
+#: forward per-level inputs (as the NL kernel)
+FWD_INPUTS = (
+    "ap", "aph0", "aph1", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
+    "qsat", "supsat", "t_fg", "tnd_cml_q", "tnd_cml_qi", "tnd_cml_ql",
+)
+#: tangent-input names whose cotangents the reverse kernel produces
+XI_NAMES = (
+    "ap_i", "aph0_i", "aph1_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
+    "q_i", "qi_i", "ql_i", "qsat_i", "supsat_i", "t_i", "tnd_cml_q_i",
+    "tnd_cml_qi_i", "tnd_cml_ql_i", "tnd_cml_t_i",
+)
+#: tangent outputs of tl_level that receive cotangent seeds
+SEED_NAMES = (
+    "tnd_t_i", "tnd_q_i", "tnd_ql_i", "tnd_qi_i",
+    "clc_i", "covptot_i", "fplsl_i", "fplsn_i",
+)
+
+
+def _pad(x: Array, kp: int, mode: str) -> Array:
+    return jnp.pad(x, ((0, kp - x.shape[0]), (0, 0)), mode=mode)
+
+
+@partial(jax.jit, static_argnames=("dt", "c", "interpret"))
+def cloudsc2_ad_pallas(
+    state: Dict[str, Array], dt: float, c: Constants, interpret: bool = False
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
+    cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
+    if not c.LPHYLIN or c.LEVAPLS2:
+        raise ValueError(
+            "cloudsc2_ad_pallas requires LPHYLIN=True and LEVAPLS2=False "
+            "(use physics.adjoint.cloudsc2_ad otherwise)"
+        )
+    nlev, ncols = state["ap"].shape
+    dtype = state["ap"].dtype
+    kp = math.ceil(nlev / KB) * KB
+
+    # ---- phase 1: forward trajectory (NL kernel) ----
+    tends_f, diags_f, traj = cloudsc2_nl_pallas(
+        state, dt, c, interpret=interpret, with_trajectory=True
+    )
+
+    # ---- reverse-kernel inputs ----
+    eta = state["eta"].astype(dtype)
+    scalm = jnp.asarray(0.9, dtype) * jnp.maximum(eta - 0.2, 1e-12) ** 0.2
+    t_fg = state["t"] + dt * state["tnd_cml_t"]
+    trpaus = tropopause_eta(eta, t_fg)
+    lu = state["lu"]
+
+    fwd = {
+        "ap": state["ap"],
+        "aph0": state["aph"][:-1],
+        "aph1": state["aph"][1:],
+        "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
+        "lude": state["lude"],
+        "mfd": state["mfd"],
+        "mfu": state["mfu"],
+        "q": state["q"],
+        "qi": state["qi"],
+        "ql": state["ql"],
+        "qsat": state["qsat"],
+        "supsat": state["supsat"],
+        "t_fg": t_fg,
+        "tnd_cml_q": state["tnd_cml_q"],
+        "tnd_cml_qi": state["tnd_cml_qi"],
+        "tnd_cml_ql": state["tnd_cml_ql"],
+    }
+    # cotangent seeds: interface-flux seeds fold their enthalpy partners
+    # (fhpsl = -RLVTT * fplsl) and shift one level (output k = interface k+1)
+    seeds = {
+        "s_tnd_t_i": state["tnd_t_i"],
+        "s_tnd_q_i": state["tnd_q_i"],
+        "s_tnd_ql_i": state["tnd_ql_i"],
+        "s_tnd_qi_i": state["tnd_qi_i"],
+        "s_clc_i": state["clc_i"],
+        "s_covptot_i": state["covptot_i"],
+        "s_fplsl_i": state["fplsl_i"][1:] - c.RLVTT * state["fhpsl_i"][1:],
+        "s_fplsn_i": state["fplsn_i"][1:] - c.RLSTT * state["fhpsn_i"][1:],
+    }
+    # pre-pad to the block multiple: forward fields edge-padded (any finite
+    # value works — zero seeds make padded levels contribute nothing),
+    # seeds ZERO-padded (required), trajectory edge-padded
+    level_inputs = {n: _pad(v, kp, "edge") for n, v in fwd.items()}
+    level_inputs.update({n: _pad(v, kp, "constant") for n, v in seeds.items()})
+    level_inputs.update({n: _pad(traj[n], kp, "edge") for n in ("c_rfl", "c_sfl", "c_cov")})
+
+    def body(cot, x, col, _g):
+        z = jnp.zeros_like(x["ap"])
+        xfwd = {n: x[n] for n in FWD_INPUTS}
+        xfwd["eta"] = x["eta"]
+        xfwd["scalm"] = x["scalm"]
+
+        def lin(ci, xi):
+            carry = TLCarry(x["c_rfl"], x["c_sfl"], x["c_cov"], *ci)
+            carry_out, outs = tl_level(
+                carry, {**xfwd, **xi}, col["aph_s"], z, col["trpaus"], dt, c
+            )
+            return (
+                (carry_out.rfl_i, carry_out.sfl_i, carry_out.covptot_i),
+                tuple(outs[n] for n in SEED_NAMES),
+            )
+
+        zi = {n: z for n in XI_NAMES}
+        _, vjp = jax.vjp(lin, (z, z, z), zi)
+        ci_cot, xi_cot = vjp(
+            (tuple(cot), tuple(x["s_" + n] for n in SEED_NAMES))
+        )
+        return tuple(ci_cot), {"cot_" + n: xi_cot[n] for n in XI_NAMES}
+
+    named = level_scan_pallas(
+        body,
+        level_inputs=level_inputs,
+        col_inputs={"trpaus": trpaus, "aph_s": state["aph"][-1]},
+        scalar_inputs={"eta": _pad(eta[:, None], kp, "edge")[:, 0],
+                       "scalm": _pad(scalm[:, None], kp, "edge")[:, 0]},
+        out_names=tuple("cot_" + n for n in XI_NAMES),
+        ncarry=3,
+        kb=KB,
+        wb=WB,
+        reverse=True,
+        interpret=interpret,
+    )
+    cot = {n: named["cot_" + n][:nlev] for n in XI_NAMES}
+
+    # ---- assemble the component outputs (adjoint/microphysics.py:150-218) ----
+    tends = dict(tends_f)
+    for name in ("t", "q", "ql", "qi"):
+        tends["cml_" + name + "_i"] = cot["tnd_cml_" + name + "_i"]
+
+    zrow = jnp.zeros((1, ncols), dtype)
+    aph_i = jnp.concatenate([cot["aph0_i"], zrow], axis=0) + jnp.concatenate(
+        [zrow, cot["aph1_i"]], axis=0
+    )
+    diags = dict(diags_f)
+    diags.update(
+        ap_i=cot["ap_i"],
+        aph_i=aph_i,
+        t_i=cot["t_i"],
+        q_i=cot["q_i"],
+        qsat_i=cot["qsat_i"],
+        ql_i=cot["ql_i"],
+        qi_i=cot["qi_i"],
+        lu_i=jnp.concatenate([zrow, cot["lu_next_i"][:-1]], axis=0),
+        lude_i=cot["lude_i"],
+        mfd_i=cot["mfd_i"],
+        mfu_i=cot["mfu_i"],
+        supsat_i=cot["supsat_i"],
+    )
+    return tends, diags

@@ -49,6 +49,7 @@ def level_scan_pallas(
     ncarry: int,
     kb: int,
     wb: int,
+    reverse: bool = False,
     interpret: bool = False,
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
@@ -59,6 +60,13 @@ def level_scan_pallas(
     the per-column dict ``col``, and returns ``(carry, outs)`` with
     ``outs`` keyed by ``out_names``.  Returns the stacked outputs as
     ``(nlev, ncols)`` arrays.
+
+    ``reverse=True`` sweeps levels bottom-up (the adjoint direction,
+    reference ``computation(BACKWARD)``, ``adjoint/_stencils/cloudsc2.py:
+    479-996``): the carry is zero-initialized at the *bottom* and level
+    blocks stream in reverse.  With ``reverse``, callers should zero-pad
+    (not edge-pad) any cotangent-seed inputs to a multiple of ``kb`` so the
+    padded sub-surface levels contribute nothing.
     """
     names = tuple(level_inputs)
     col_names = tuple(col_inputs)
@@ -90,15 +98,18 @@ def level_scan_pallas(
             carry_ref[...] = jnp.zeros_like(carry_ref)
 
         col = {n: r[...] for n, r in zip(col_names, col_refs)}
+        # block index in array space (the index_map already reverses blocks)
+        ar_kb = (nkb - 1 - kb_id) if reverse else kb_id
 
         def loop(i, carry):
-            x = {n: r[i] for n, r in zip(names, level_refs)}
-            g = kb_id * kb + i
+            row = (kb - 1 - i) if reverse else i
+            x = {n: r[row] for n, r in zip(names, level_refs)}
+            g = ar_kb * kb + row
             for n, r in zip(scal_names, scal_refs):
                 x[n] = r[g, 0]
             carry, outs = body(carry, x, col, g)
             for n, r in zip(out_names, out_refs):
-                r[i] = outs[n]
+                r[row] = outs[n]
             return carry
 
         carry = tuple(carry_ref[j] for j in range(ncarry))
@@ -106,9 +117,14 @@ def level_scan_pallas(
         for j in range(ncarry):
             carry_ref[j] = carry[j]
 
-    level_spec = pl.BlockSpec(
-        (kb, 8, wb), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
-    )
+    if reverse:
+        level_spec = pl.BlockSpec(
+            (kb, 8, wb), lambda j, k: (nkb - 1 - k, 0, j), memory_space=pltpu.VMEM
+        )
+    else:
+        level_spec = pl.BlockSpec(
+            (kb, 8, wb), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
+        )
     col_spec = pl.BlockSpec((8, wb), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 

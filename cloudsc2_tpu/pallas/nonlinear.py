@@ -44,10 +44,14 @@ LEVEL_OUTPUTS = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret"))
+@partial(jax.jit, static_argnames=("dt", "c", "interpret", "with_trajectory"))
 def cloudsc2_nl_pallas(
-    state: Dict[str, Array], dt: float, c: Constants, interpret: bool = False
-) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    state: Dict[str, Array],
+    dt: float,
+    c: Constants,
+    interpret: bool = False,
+    with_trajectory: bool = False,
+) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
 
@@ -84,19 +88,27 @@ def cloudsc2_nl_pallas(
     }
 
     def body(carry, x, col, _g):
+        carry_in = carry
         carry, outs, _aux = nl_level(
             NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
         )
         outs["fhpsl"] = -outs["fplsl"] * c.RLVTT
         outs["fhpsn"] = -outs["fplsn"] * c.RLSTT
+        if with_trajectory:
+            # carry *entering* the level: the trajectory the adjoint's
+            # reverse sweep re-linearizes around (the reference AD instead
+            # materializes ~35 forward temporaries,
+            # adjoint/_stencils/cloudsc2.py:133-476)
+            outs["c_rfl"], outs["c_sfl"], outs["c_cov"] = carry_in
         return tuple(carry), outs
 
+    out_names = LEVEL_OUTPUTS + (("c_rfl", "c_sfl", "c_cov") if with_trajectory else ())
     named = level_scan_pallas(
         body,
         level_inputs=level_inputs,
         col_inputs={"trpaus": trpaus, "aph_s": state["aph"][-1]},
         scalar_inputs={"eta": eta, "scalm": scalm},
-        out_names=LEVEL_OUTPUTS,
+        out_names=out_names,
         ncarry=3,
         kb=KB,
         wb=WB,
@@ -118,4 +130,7 @@ def cloudsc2_nl_pallas(
         "fhpsl": jnp.concatenate([zrow, named["fhpsl"]], axis=0),
         "fhpsn": jnp.concatenate([zrow, named["fhpsn"]], axis=0),
     }
+    if with_trajectory:
+        traj = {n: named[n] for n in ("c_rfl", "c_sfl", "c_cov")}
+        return tends, diags, traj
     return tends, diags

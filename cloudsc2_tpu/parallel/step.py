@@ -40,8 +40,9 @@ Array = jnp.ndarray
 def _nl_impl(state: Dict[str, Array], dt: float, c: Constants, impl: str):
     """Select the NL implementation: hand-written Pallas kernel on TPU for
     f32 with lane-aligned columns, ``lax.scan`` otherwise (CPU, f64, or
-    ragged column counts)."""
-    if impl == "pallas" or (
+    ragged column counts).  ``pallas-interpret`` forces the kernel in
+    interpreter mode (CPU testing)."""
+    if impl in ("pallas", "pallas-interpret") or (
         impl == "auto"
         and state["ap"].dtype == jnp.float32
         and jax.default_backend() not in ("cpu",)
@@ -49,7 +50,9 @@ def _nl_impl(state: Dict[str, Array], dt: float, c: Constants, impl: str):
         from cloudsc2_tpu.pallas.nonlinear import WB, cloudsc2_nl_pallas
 
         if state["ap"].shape[1] % (8 * WB) == 0:
-            return cloudsc2_nl_pallas(state, dt, c)
+            return cloudsc2_nl_pallas(
+                state, dt, c, interpret=impl == "pallas-interpret"
+            )
     return cloudsc2_nl(state, dt, c)
 
 
@@ -103,3 +106,38 @@ def make_sharded_fn(fn, mesh: Mesh, state: Dict[str, Array], *, dt: float, c: Co
         partial(fn, dt=dt, c=c),
         in_shardings=in_shardings,
     )
+
+
+def make_sharded_forward_step(
+    mesh: Mesh, *, dt: float, c: Constants, impl: str = "auto"
+):
+    """Column-sharded forward step via ``shard_map``.
+
+    GSPMD cannot partition a ``pallas_call`` automatically, so the Pallas
+    fast path runs under ``shard_map``: each device executes the kernel on
+    its local column shard (which must stay lane-aligned per shard); there
+    is no communication — columns are independent (SURVEY.md §2.3).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cloudsc2_tpu.parallel.mesh import MESH_AXES
+
+    spec2d = P(None, MESH_AXES)
+
+    def local_fn(state):
+        return forward_step(state, dt, c, impl=impl)
+
+    def wrapped(state):
+        in_specs = ({k: spec2d for k in state},)
+        out_specs = ({k: spec2d for k in ("t", "q", "ql", "qi")},
+                     {k: spec2d for k in ("clc", "covptot", "fplsl", "fplsn",
+                                          "fhpsl", "fhpsn")})
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+        # annotation; the kernel is purely local so the check adds nothing
+        return shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(state)
+
+    return jax.jit(wrapped)

@@ -54,6 +54,60 @@ def test_pallas_nl_rejects_ragged_columns(f32_state):
         cloudsc2_nl_pallas(bad, dt, c, interpret=True)
 
 
+def test_pallas_symmetry(f32_state):
+    """The full Pallas TL + AD pipeline satisfies <Mx,Mx> = <x,M*(Mx)> —
+    the reference's AD acceptance gate (adjoint/validation.py:155-165) on
+    the hand-written kernels."""
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.validation.symmetry import SymmetryTest
+
+    s, dt, c = f32_state
+    s = dict(s)
+    incr = state_increment(s, 0.01, ignore_supsat=True)
+    s.update(incr)
+    tt, dd = cloudsc2_tl_pallas(s, dt, c, interpret=True)
+    norm1 = SymmetryTest.get_norm1(tt, dd)
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n] = tt[n]
+        s["tnd_" + n + "_i"] = tt[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = dd[n + "_i"]
+    t_ad, d_ad = cloudsc2_ad_pallas(s, dt, c, interpret=True)
+    norm2 = SymmetryTest.get_norm2(incr, t_ad, d_ad)
+    n1, n2 = np.asarray(norm1), np.asarray(norm2)
+    eps = np.finfo(np.float32).eps
+    err = (np.abs(n1 - n2) / (eps * np.abs(n2))).max()
+    assert err < 1e4, err
+
+
+def test_pallas_ad_matches_vjp_adjoint(f32_state):
+    """The AD kernel's cotangents equal jax.vjp of the scan TL (per-field,
+    scaled by the field's magnitude) and its forward recompute equals NL."""
+    from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+
+    s, dt, c = f32_state
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tt, dd = cloudsc2_tl(s, dt, c)
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n] = tt[n]
+        s["tnd_" + n + "_i"] = tt[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = dd[n + "_i"]
+    t_ref, d_ref = cloudsc2_ad(s, dt, c)
+    t_p, d_p = cloudsc2_ad_pallas(s, dt, c, interpret=True)
+    for ref, got in ((t_ref, t_p), (d_ref, d_p)):
+        for n in ref:
+            a, b = np.asarray(got[n]), np.asarray(ref[n])
+            scale = np.abs(b).max() + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-6, err_msg=n)
+
+
 def test_pallas_tl_matches_scan(f32_state):
     from cloudsc2_tpu.physics.increment import state_increment
     from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl

@@ -86,6 +86,27 @@ def test_full_step_sharded_symmetry(synth, constants):
     assert err.max() < 1e4, err.max()
 
 
+def test_shard_map_pallas_forward_step(constants):
+    """The Pallas kernel runs under shard_map: each device executes the
+    kernel on its local lane-aligned column shard, no communication."""
+    from cloudsc2_tpu import iox
+    from cloudsc2_tpu.parallel.step import make_sharded_forward_step
+
+    _, state_np, dt = iox.synthesize_input(ncols=8 * 4096, nlev=137, seed=0, dtype=np.float32)
+    state = {k: jnp.asarray(v, jnp.float32) for k, v in state_np.items()}
+    t_ref, _ = jax.jit(lambda s: forward_step(s, dt, constants, impl="scan"))(state)
+
+    mesh = column_mesh(8)
+    sharded = shard_state(state, mesh)
+    step = make_sharded_forward_step(mesh, dt=dt, c=constants, impl="pallas-interpret")
+    t_s, d_s = step(sharded)
+    for n in t_ref:
+        np.testing.assert_allclose(
+            np.asarray(t_s[n]), np.asarray(t_ref[n]), rtol=3e-5, atol=1e-7, err_msg=n
+        )
+    assert np.asarray(d_s["fplsl"]).shape == (138, 8 * 4096)
+
+
 def test_forward_step_jit_cache_stable(state_with_qsat, constants):
     """forward_step is a single jittable unit (saturation fused with NL)."""
     _, state, dt = state_with_qsat
