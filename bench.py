@@ -25,6 +25,12 @@ import time
 from functools import partial
 
 import jax
+
+# persistent compile cache: Mosaic compiles of the kernels cost minutes
+# through the remote-TPU tunnel (the .gt_cache analogue)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

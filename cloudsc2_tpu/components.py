@@ -79,11 +79,38 @@ def _props(names: Mapping[str, Tuple[str, ...]]) -> PropertyDict:
 
 
 class Component:
-    """Base: property declaration + optional shape/name checking."""
+    """Base: property declaration + optional shape/name checking.
+
+    Every subclass ``__call__`` is wrapped in a
+    :func:`~cloudsc2_tpu.utils.timing.timing` block labeled by the
+    component's snake-case name (``cloudsc2_nl``, ``saturation``, ...) — the
+    analogue of the reference's per-stencil ``exec_info`` timings threaded
+    into every stencil call (``physics/common/saturation.py:75``); the
+    labels feed ``write_stencils_performance_to_csv``.
+    """
 
     input_properties: PropertyDict = {}
     diagnostic_properties: PropertyDict = {}
     tendency_properties: PropertyDict = {}
+    name: str = ""
+
+    def __init_subclass__(cls, **kw: Any) -> None:
+        super().__init_subclass__(**kw)
+        if "__call__" in cls.__dict__:
+            import functools
+            import re
+
+            from cloudsc2_tpu.utils.timing import timing
+
+            inner = cls.__dict__["__call__"]
+            cls.name = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", cls.__name__).lower()
+
+            @functools.wraps(inner)
+            def timed(self, *a: Any, **k: Any):
+                with timing(self.name):
+                    return inner(self, *a, **k)
+
+            cls.__call__ = timed
 
     def __init__(self, grid: Grid, constants: Constants, *, enable_checks: bool = False):
         self.grid = grid

@@ -43,9 +43,15 @@ class JaxConfig:
     validate_args: bool = False
     verbose: bool = True
     dtypes: DataTypes = dataclasses.field(default_factory=DataTypes)
+    #: persistent compilation cache — the analogue of the reference's
+    #: ``.gt_cache`` compiled-stencil cache (``.gitignore:6``,
+    #: ``rebuild=False`` in ``drivers/config.py:45``); indispensable here
+    #: because Mosaic compiles of the TL/AD kernels take minutes
+    cache_dir: Optional[str] = ".jax_cache"
 
     def apply(self) -> None:
-        """Apply platform / x64 settings to the live JAX process."""
+        """Apply platform / x64 / compile-cache settings to the live JAX
+        process."""
         import jax
 
         if self.platform is not None:
@@ -56,6 +62,9 @@ class JaxConfig:
                 _backend.clear_backends()
         if self.dtypes.float == np.float64:
             jax.config.update("jax_enable_x64", True)
+        if self.cache_dir and not self.rebuild:
+            jax.config.update("jax_compilation_cache_dir", self.cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @dataclass(frozen=True)

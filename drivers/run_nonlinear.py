@@ -34,7 +34,11 @@ def core(config, io_config):
     from cloudsc2_tpu import iox, make_constants
     from cloudsc2_tpu.components import Cloudsc2NL, EtaLevels, Saturation
     from cloudsc2_tpu.parallel.mesh import column_mesh, pad_columns, shard_state, unpad_columns
-    from cloudsc2_tpu.utils.output import print_performance, write_performance_to_csv
+    from cloudsc2_tpu.utils.output import (
+        print_performance,
+        write_performance_to_csv,
+        write_stencils_performance_to_csv,
+    )
     from cloudsc2_tpu.utils.timing import Timer, timing
     from cloudsc2_tpu.utils.validation import validate
 
@@ -81,13 +85,19 @@ def core(config, io_config):
     sync((tends, diags))
     Timer.reset()
 
-    # hot loop (reference :115-119)
+    # hot loop (reference :115-119); optional profiler trace around it
+    profile_dir = getattr(config, "_profile_dir", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     runtimes = []
     for i in range(config.num_runs):
         with timing("run"):
             tends, diags = run_once(state)
             sync((tends, diags))
         runtimes.append(Timer.get_time("run", "ms") - sum(runtimes))
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {profile_dir}")
 
     # performance report (reference :121-137)
     stats = print_performance(ncols, runtimes, nlev=grid.nlev)
@@ -104,6 +114,18 @@ def core(config, io_config):
             runtime_stddev=stats[1],
             mflops_mean=stats[2],
             mflops_stddev=stats[3],
+        )
+    if io_config.output_csv_file_stencils:
+        write_stencils_performance_to_csv(
+            io_config.output_csv_file_stencils,
+            host_name=io_config.host_name,
+            precision=config.precision,
+            backend="jax:" + jax.devices()[0].platform,
+            num_cols=ncols,
+            num_threads=config.num_threads,
+            num_runs=config.num_runs,
+            exec_info={k: Timer.get_time(k, "ms") for k in Timer.labels()},
+            key_patterns=("cloudsc", "saturation", "increment", "perturbed", "eta"),
         )
 
     # validation vs golden file (reference :139-147)
@@ -153,10 +175,13 @@ def config_tolerances(config):
 @click.option("--rtol", type=float, default=None)
 @click.option("--sharded/--no-sharded", default=False, help="column-shard over all devices")
 @click.option("--output-csv-file", type=str, default=None)
+@click.option("--output-csv-file-stencils", type=str, default=None)
+@click.option("--profile-dir", type=str, default=None, help="write a jax.profiler trace")
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
-    input_file, reference_file, atol, rtol, sharded, output_csv_file, host_alias,
+    input_file, reference_file, atol, rtol, sharded, output_csv_file,
+    output_csv_file_stencils, profile_dir, host_alias,
 ):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
@@ -176,8 +201,11 @@ def main(
     config = config.with_reference_file(reference_file)
     object.__setattr__(config, "_atol", atol)
     object.__setattr__(config, "_rtol", rtol)
+    object.__setattr__(config, "_profile_dir", profile_dir)
     io_config = (
-        DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file).with_host_name(host_alias)
+        DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
+        .with_output_csv_file_stencils(output_csv_file_stencils)
+        .with_host_name(host_alias)
     )
     sys.exit(core(config, io_config))
 
