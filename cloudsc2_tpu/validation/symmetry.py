@@ -58,15 +58,36 @@ FIELD_PAIRS = (
 
 @dataclass
 class SymmetryTest:
-    """Reference symmetry-test orchestration (``validation.py:44-231``)."""
+    """Reference symmetry-test orchestration (``validation.py:44-231``).
+
+    ``impl``: "scan" (default; any platform/precision) or "pallas" /
+    "pallas-interpret" (f32, lane-aligned columns — the hand-written TPU
+    kernels).
+    """
 
     constants: Constants
     factor: float = 0.01
     kflag: int = 1
     lphylin: bool = True
+    impl: str = "scan"
+
+    def _tl_ad(self):
+        if self.impl in ("pallas", "pallas-interpret"):
+            from functools import partial
+
+            from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+            from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+            interp = self.impl == "pallas-interpret"
+            return (
+                partial(cloudsc2_tl_pallas, interpret=interp),
+                partial(cloudsc2_ad_pallas, interpret=interp),
+            )
+        return cloudsc2_tl, cloudsc2_ad
 
     def run(self, state: Dict[str, Array], dt: float) -> Tuple[np.ndarray, np.ndarray]:
         c = self.constants
+        tl_fn, ad_fn = self._tl_ad()
         state = dict(state)
         state["qsat"] = saturation(
             state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
@@ -78,7 +99,7 @@ class SymmetryTest:
         state.update(incr)
 
         # y = M x
-        tends_tl, diags_tl = cloudsc2_tl(state, dt, c)
+        tends_tl, diags_tl = tl_fn(state, dt, c)
         norm1 = self.get_norm1(tends_tl, diags_tl)
 
         # feed the TL outputs into the adjoint as cotangent seeds (reference
@@ -90,7 +111,7 @@ class SymmetryTest:
             state[name + "_i"] = diags_tl[name + "_i"]
 
         # x* = M* y
-        tends_ad, diags_ad = cloudsc2_ad(state, dt, c)
+        tends_ad, diags_ad = ad_fn(state, dt, c)
         norm2 = self.get_norm2(incr, tends_ad, diags_ad)
         return np.asarray(norm1), np.asarray(norm2)
 

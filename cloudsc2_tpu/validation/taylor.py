@@ -41,27 +41,43 @@ class TaylorTest:
     factor2s: Sequence[float] = tuple(float(10.0 ** -(i + 1)) for i in range(10))
     kflag: int = 1
     lphylin: bool = True
+    impl: str = "scan"  # "scan" | "pallas" | "pallas-interpret"
     norms: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
 
     def __post_init__(self) -> None:
         # no regularization in the Taylor test (reference validation.py:84-85)
         self.constants = self.constants.replace(LREGCL=False)
 
+    def _nl_tl(self):
+        if self.impl in ("pallas", "pallas-interpret"):
+            from functools import partial
+
+            from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
+            from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+            interp = self.impl == "pallas-interpret"
+            return (
+                partial(cloudsc2_nl_pallas, interpret=interp),
+                partial(cloudsc2_tl_pallas, interpret=interp),
+            )
+        return cloudsc2_nl, cloudsc2_tl
+
     def run(self, state: Dict[str, Array], dt: float) -> np.ndarray:
         c = self.constants
+        nl_fn, tl_fn = self._nl_tl()
         state = dict(state)
         state["qsat"] = saturation(
             state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
         )
-        tends_nl, diags_nl = cloudsc2_nl(state, dt, c)
+        tends_nl, diags_nl = nl_fn(state, dt, c)
 
         state.update(state_increment(state, self.factor1))
-        tends_tl, diags_tl = cloudsc2_tl(state, dt, c)
+        tends_tl, diags_tl = tl_fn(state, dt, c)
 
         norms = np.zeros(len(self.factor2s))
         for i, f2 in enumerate(self.factor2s):
             state_p = perturbed_state(state, f2)
-            tends_p, diags_p = cloudsc2_nl(state_p, dt, c)
+            tends_p, diags_p = nl_fn(state_p, dt, c)
             norms[i] = self.get_norm(
                 f2, tends_nl, diags_nl, tends_p, diags_p, tends_tl, diags_tl
             )

@@ -19,7 +19,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from drivers.config import DEFAULT_CONFIG, DEFAULT_IO_CONFIG
 
 
-def core(config, io_config, factor):
+def core(config, io_config, factor, config_impl="scan"):
     import jax.numpy as jnp
 
     from cloudsc2_tpu import iox, make_constants
@@ -45,7 +45,7 @@ def core(config, io_config, factor):
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     state.update(EtaLevels(grid, c)(state))
 
-    st = SymmetryTest(constants=c, factor=factor)
+    st = SymmetryTest(constants=c, factor=factor, impl=config_impl)
     Timer.reset()
     err = float("inf")
     runtimes = []
@@ -81,8 +81,10 @@ def core(config, io_config, factor):
 @click.option("--factor", type=float, default=0.01)
 @click.option("--input-file", type=str, default=None)
 @click.option("--output-csv-file", type=str, default=None)
+@click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
+              help="kernel implementation (pallas: f32 TPU kernels)")
 @click.option("--host-alias", type=str, default="localhost")
-def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_file, host_alias):
+def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_file, impl, host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
@@ -93,7 +95,7 @@ def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file).with_host_name(host_alias)
     )
-    sys.exit(core(config, io_config, factor))
+    sys.exit(core(config, io_config, factor, impl))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from drivers.config import DEFAULT_CONFIG, DEFAULT_IO_CONFIG
 
 
-def core(config, io_config, factor1, factor2s):
+def core(config, io_config, factor1, factor2s, config_impl="scan"):
     import jax.numpy as jnp
 
     from cloudsc2_tpu import iox, make_constants
@@ -45,7 +45,7 @@ def core(config, io_config, factor1, factor2s):
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     state.update(EtaLevels(grid, c)(state))
 
-    tt = TaylorTest(constants=c, factor1=factor1, factor2s=factor2s)
+    tt = TaylorTest(constants=c, factor1=factor1, factor2s=factor2s, impl=config_impl)
     Timer.reset()
     test = 13
     runtimes = []
@@ -81,8 +81,12 @@ def core(config, io_config, factor1, factor2s):
 @click.option("--factor1", type=float, default=0.01)
 @click.option("--input-file", type=str, default=None)
 @click.option("--output-csv-file", type=str, default=None)
+@click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
+              help="kernel implementation (pallas: f32 TPU kernels; NOTE the Taylor "
+              "verdict gate needs f64 — lambda sweeps to 1e-10, below f32 "
+              "resolution — so pallas impls are for protocol throughput only)")
 @click.option("--host-alias", type=str, default="localhost")
-def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv_file, host_alias):
+def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv_file, impl, host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
@@ -94,7 +98,7 @@ def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file).with_host_name(host_alias)
     )
     factor2s = tuple(float(10.0 ** -(i + 1)) for i in range(10))
-    sys.exit(core(config, io_config, factor1, factor2s))
+    sys.exit(core(config, io_config, factor1, factor2s, impl))
 
 
 if __name__ == "__main__":
