@@ -219,19 +219,51 @@ _NL_DIAGS = {
 }
 
 
+def _select_impl(impl: str, state: Mapping[str, Array]) -> str:
+    """Resolve impl="auto": Pallas on an accelerator for f32 lane-aligned
+    columns, ``lax.scan`` otherwise (CPU, f64, ragged columns)."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    from cloudsc2_tpu.pallas.nonlinear import WB
+
+    ap = state["ap"]
+    if (
+        ap.dtype == jnp.float32
+        and ap.shape[1] % (8 * WB) == 0
+        and jax.default_backend() != "cpu"
+    ):
+        return "pallas"
+    return "scan"
+
+
 class Cloudsc2NL(Component):
     """Nonlinear CLOUDSC2 (reference
     ``physics/nonlinear/microphysics.py:43-172``): 17 inputs, 4 tendencies,
-    6 diagnostics."""
+    6 diagnostics.  ``impl``: "auto" (Pallas kernel on TPU for f32
+    lane-aligned columns) | "scan" | "pallas" | "pallas-interpret"."""
 
     input_properties = _props(_NL_INPUTS)
     tendency_properties = {n: {"dims": FULL, "units": u} for n, u in TEND_UNITS.items()}
     diagnostic_properties = _props(_NL_DIAGS)
 
+    def __init__(self, grid, constants, *, impl: str = "auto", **kw):
+        super().__init__(grid, constants, **kw)
+        self.impl = impl
+
     def __call__(
         self, state: Dict[str, Array], timestep: float
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         self._check_state(state)
+        impl = _select_impl(self.impl, state)
+        if impl in ("pallas", "pallas-interpret"):
+            from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
+
+            return cloudsc2_nl_pallas(
+                state, timestep, self.constants,
+                interpret=impl == "pallas-interpret",
+            )
         return cloudsc2_nl(state, timestep, self.constants)
 
 
@@ -251,10 +283,22 @@ class Cloudsc2TL(Component):
         {**_NL_DIAGS, **{n + "_i": d for n, d in _NL_DIAGS.items()}}
     )
 
+    def __init__(self, grid, constants, *, impl: str = "auto", **kw):
+        super().__init__(grid, constants, **kw)
+        self.impl = impl
+
     def __call__(
         self, state: Dict[str, Array], timestep: float
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         self._check_state(state)
+        impl = _select_impl(self.impl, state)
+        if impl in ("pallas", "pallas-interpret"):
+            from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+            return cloudsc2_tl_pallas(
+                state, timestep, self.constants,
+                interpret=impl == "pallas-interpret",
+            )
         return cloudsc2_tl(state, timestep, self.constants)
 
 
@@ -288,8 +332,20 @@ class Cloudsc2AD(Component):
         }
     )
 
+    def __init__(self, grid, constants, *, impl: str = "auto", **kw):
+        super().__init__(grid, constants, **kw)
+        self.impl = impl
+
     def __call__(
         self, state: Dict[str, Array], timestep: float
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         self._check_state(state)
-        return cloudsc2_ad(state, timestep, self.constants)
+        impl = _select_impl(self.impl, state)
+        c = self.constants
+        if impl in ("pallas", "pallas-interpret") and c.LPHYLIN and not c.LEVAPLS2:
+            from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+
+            return cloudsc2_ad_pallas(
+                state, timestep, c, interpret=impl == "pallas-interpret"
+            )
+        return cloudsc2_ad(state, timestep, c)
