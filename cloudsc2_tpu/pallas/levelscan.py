@@ -51,6 +51,7 @@ def level_scan_pallas(
     wb: int,
     reverse: bool = False,
     interpret: bool = False,
+    unroll: int = 1,
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -60,6 +61,13 @@ def level_scan_pallas(
     the per-column dict ``col``, and returns ``(carry, outs)`` with
     ``outs`` keyed by ``out_names``.  Returns the stacked outputs as
     ``(nlev, ncols)`` arrays.
+
+    ``unroll >= kb`` replaces the in-block level loop with a fully static
+    Python loop (static VMEM row indices), letting Mosaic software-pipeline
+    the independent per-level computations across the sequential carry
+    chain — the VPU-latency-hiding analogue of the reference backends'
+    k-loop unrolling; intermediate values unroll the ``fori_loop`` by that
+    factor.
 
     ``reverse=True`` sweeps levels bottom-up (the adjoint direction,
     reference ``computation(BACKWARD)``, ``adjoint/_stencils/cloudsc2.py:
@@ -113,7 +121,11 @@ def level_scan_pallas(
             return carry
 
         carry = tuple(carry_ref[j] for j in range(ncarry))
-        carry = jax.lax.fori_loop(0, kb, loop, carry)
+        if unroll >= kb:
+            for i in range(kb):
+                carry = loop(i, carry)
+        else:
+            carry = jax.lax.fori_loop(0, kb, loop, carry, unroll=max(unroll, 1))
         for j in range(ncarry):
             carry_ref[j] = carry[j]
 
@@ -142,6 +154,11 @@ def level_scan_pallas(
         out_specs=[level_spec] * len(out_names),
         out_shape=[jax.ShapeDtypeStruct((kp, 8, w), dtype) for _ in out_names],
         scratch_shapes=[pltpu.VMEM((ncarry, 8, wb), dtype)],
+        # column tiles are independent (carry re-zeroed at each tile's first
+        # level block); only the level axis must run sequentially
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(*ins)
 

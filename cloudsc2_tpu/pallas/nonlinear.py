@@ -33,6 +33,7 @@ Array = jnp.ndarray
 #: = 8 * WB); KB=16, WB=512 fits 26 double-buffered blocks in VMEM
 KB = 16
 WB = 512
+UNROLL = 1
 
 LEVEL_INPUTS = (
     "ap", "aph0", "aph1", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
@@ -44,13 +45,19 @@ LEVEL_OUTPUTS = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret", "with_trajectory"))
+@partial(
+    jax.jit,
+    static_argnames=("dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll"),
+)
 def cloudsc2_nl_pallas(
     state: Dict[str, Array],
     dt: float,
     c: Constants,
     interpret: bool = False,
     with_trajectory: bool = False,
+    kb: int | None = None,
+    wb: int | None = None,
+    unroll: int | None = None,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -110,8 +117,9 @@ def cloudsc2_nl_pallas(
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=out_names,
         ncarry=3,
-        kb=KB,
-        wb=WB,
+        kb=KB if kb is None else kb,
+        wb=WB if wb is None else wb,
+        unroll=UNROLL if unroll is None else unroll,
         interpret=interpret,
     )
 

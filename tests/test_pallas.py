@@ -47,6 +47,23 @@ def test_pallas_nl_matches_scan(f32_state):
         )
 
 
+@pytest.mark.parametrize("unroll", [4, 99])
+def test_pallas_nl_unrolled_matches_scan(f32_state, unroll):
+    """The statically unrolled level loop (Mosaic software-pipelining
+    variant) is bit-compatible with the fori_loop kernel."""
+    s, dt, c = f32_state
+    tends_ref, diags_ref = cloudsc2_nl(s, dt, c)
+    tends, diags = cloudsc2_nl_pallas(s, dt, c, interpret=True, unroll=unroll)
+    for n in tends_ref:
+        np.testing.assert_allclose(
+            np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=2e-5, atol=1e-8, err_msg=n
+        )
+    for n in diags_ref:
+        np.testing.assert_allclose(
+            np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=2e-5, atol=1e-6, err_msg=n
+        )
+
+
 def test_pallas_nl_rejects_ragged_columns(f32_state):
     s, dt, c = f32_state
     bad = {k: (v if v.ndim < 2 else v[:, : 8 * WB - 8]) for k, v in s.items()}
