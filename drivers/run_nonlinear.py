@@ -26,7 +26,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from drivers.config import DEFAULT_CONFIG, DEFAULT_IO_CONFIG, default_reference_file
 
 
-def core(config, io_config):
+def core(config, io_config, impl="auto"):
     import h5py
     import jax
     import jax.numpy as jnp
@@ -67,7 +67,7 @@ def core(config, io_config):
     # --- components (reference run_nonlinear.py:76-108) ---
     eta_levels = EtaLevels(grid, c, enable_checks=config.enable_checks)
     saturation = Saturation(grid, c, kflag=1, lphylin=True, enable_checks=config.enable_checks)
-    cloudsc2_nl = Cloudsc2NL(grid, c, enable_checks=config.enable_checks)
+    cloudsc2_nl = Cloudsc2NL(grid, c, impl=impl, enable_checks=config.enable_checks)
 
     state.update(eta_levels(state))
 
@@ -180,11 +180,14 @@ def config_tolerances(config):
 @click.option("--output-csv-file", type=str, default=None)
 @click.option("--output-csv-file-stencils", type=str, default=None)
 @click.option("--profile-dir", type=str, default=None, help="write a jax.profiler trace")
+@click.option("--impl", type=click.Choice(["auto", "scan", "pallas", "pallas-interpret"]),
+              default="auto", help="kernel implementation (auto: pallas on TPU when "
+              "f32 and ncols is a multiple of the column tile, else scan)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
     input_file, reference_file, atol, rtol, sharded, output_csv_file,
-    output_csv_file_stencils, profile_dir, host_alias,
+    output_csv_file_stencils, profile_dir, impl, host_alias,
 ):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
@@ -210,7 +213,7 @@ def main(
         .with_output_csv_file_stencils(output_csv_file_stencils)
         .with_host_name(host_alias)
     )
-    sys.exit(core(config, io_config))
+    sys.exit(core(config, io_config, impl=impl))
 
 
 if __name__ == "__main__":
