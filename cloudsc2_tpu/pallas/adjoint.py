@@ -41,7 +41,11 @@ import jax
 import jax.numpy as jnp
 
 from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
-from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas, tropopause_eta
+from cloudsc2_tpu.pallas.nonlinear import (
+    cloudsc2_nl_pallas,
+    critical_rh_coeffs,
+    tropopause_eta,
+)
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
@@ -141,6 +145,8 @@ def cloudsc2_ad_pallas(
         xfwd = {n: x[n] for n in FWD_INPUTS}
         xfwd["eta"] = x["eta"]
         xfwd["scalm"] = x["scalm"]
+        xfwd["crh_rh2"] = col["crh_rh2"]
+        xfwd["crh_deta1"] = col["crh_deta1"]
 
         def lin(ci, xi):
             carry = TLCarry(x["c_rfl"], x["c_sfl"], x["c_cov"], *ci)
@@ -162,7 +168,11 @@ def cloudsc2_ad_pallas(
     named = level_scan_pallas(
         body,
         level_inputs=level_inputs,
-        col_inputs={"trpaus": trpaus, "aph_s": state["aph"][-1]},
+        col_inputs=dict(
+            zip(("crh_rh2", "crh_deta1"), critical_rh_coeffs(trpaus)),
+            trpaus=trpaus,
+            aph_s=state["aph"][-1],
+        ),
         scalar_inputs={"eta": _pad(eta[:, None], kp, "edge")[:, 0],
                        "scalm": _pad(scalm[:, None], kp, "edge")[:, 0]},
         out_names=tuple("cot_" + n for n in XI_NAMES),

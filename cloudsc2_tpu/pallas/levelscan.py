@@ -109,7 +109,7 @@ def level_scan_pallas(
         # block index in array space (the index_map already reverses blocks)
         ar_kb = (nkb - 1 - kb_id) if reverse else kb_id
 
-        def loop(i, carry):
+        def step(i, carry):
             row = (kb - 1 - i) if reverse else i
             x = {n: r[row] for n, r in zip(names, level_refs)}
             g = ar_kb * kb + row
@@ -121,11 +121,26 @@ def level_scan_pallas(
             return carry
 
         carry = tuple(carry_ref[j] for j in range(ncarry))
-        if unroll >= kb:
+        u = max(min(unroll, kb), 1)
+        if u >= kb:
             for i in range(kb):
-                carry = loop(i, carry)
+                carry = step(i, carry)
+        elif u > 1:
+            # manual partial unroll: Mosaic's fori_loop only supports full
+            # unroll, so widen the loop body by hand — u levels per
+            # iteration gives the scheduler a u-times-larger block of
+            # mostly carry-independent work to pipeline
+            if kb % u != 0:
+                raise ValueError(f"unroll={u} must divide kb={kb}")
+
+            def block(b, carry):
+                for j in range(u):
+                    carry = step(b * u + j, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, kb // u, block, carry)
         else:
-            carry = jax.lax.fori_loop(0, kb, loop, carry, unroll=max(unroll, 1))
+            carry = jax.lax.fori_loop(0, kb, step, carry)
         for j in range(ncarry):
             carry_ref[j] = carry[j]
 

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
 from cloudsc2_tpu.params import Constants
-from cloudsc2_tpu.physics.nonlinear import NLCarry, nl_level, tropopause_eta
+from cloudsc2_tpu.physics.nonlinear import (
+    NLCarry,
+    critical_rh_coeffs,
+    nl_level,
+    tropopause_eta,
+)
 
 Array = jnp.ndarray
 
@@ -96,6 +101,7 @@ def cloudsc2_nl_pallas(
 
     def body(carry, x, col, _g):
         carry_in = carry
+        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"])
         carry, outs, _aux = nl_level(
             NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
         )
@@ -113,7 +119,11 @@ def cloudsc2_nl_pallas(
     named = level_scan_pallas(
         body,
         level_inputs=level_inputs,
-        col_inputs={"trpaus": trpaus, "aph_s": state["aph"][-1]},
+        col_inputs=dict(
+            zip(("crh_rh2", "crh_deta1"), critical_rh_coeffs(trpaus)),
+            trpaus=trpaus,
+            aph_s=state["aph"][-1],
+        ),
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=out_names,
         ncarry=3,

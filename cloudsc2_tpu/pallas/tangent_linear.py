@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
 from cloudsc2_tpu.params import Constants
-from cloudsc2_tpu.physics.nonlinear import tropopause_eta
+from cloudsc2_tpu.physics.nonlinear import critical_rh_coeffs, tropopause_eta
 from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
 Array = jnp.ndarray
@@ -99,6 +99,7 @@ def cloudsc2_tl_pallas(
     }
 
     def body(carry, x, col, _g):
+        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"])
         carry, outs = tl_level(
             TLCarry(*carry), x, col["aph_s"], col["aph_s_i"], col["trpaus"], dt, c
         )
@@ -107,11 +108,12 @@ def cloudsc2_tl_pallas(
     named = level_scan_pallas(
         body,
         level_inputs=level_inputs,
-        col_inputs={
-            "trpaus": trpaus,
-            "aph_s": state["aph"][-1],
-            "aph_s_i": state["aph_i"][-1],
-        },
+        col_inputs=dict(
+            zip(("crh_rh2", "crh_deta1"), critical_rh_coeffs(trpaus)),
+            trpaus=trpaus,
+            aph_s=state["aph"][-1],
+            aph_s_i=state["aph_i"][-1],
+        ),
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=LEVEL_OUTPUTS,
         ncarry=6,

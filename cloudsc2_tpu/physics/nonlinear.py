@@ -69,17 +69,27 @@ def tropopause_eta(eta: Array, t_fg: Array) -> Array:
     return jnp.where(best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, eta.dtype))
 
 
-def critical_rh(eta_k: Array, trpaus: Array) -> Array:
-    """Critical relative-humidity profile (reference ``cloudsc2.py:166-186``)."""
-    rh1 = 1.0
+def critical_rh_coeffs(trpaus: Array) -> Tuple[Array, Array]:
+    """Per-column coefficients of the critical-RH profile — a pure function
+    of the tropopause eta, hoisted out of the level loop (the reference
+    recomputes them at every level, ``cloudsc2.py:168-171``)."""
     rh2 = (
         0.35
         + 0.14 * ((trpaus - 0.25) / 0.15) ** 2.0
         + 0.04 * jnp.minimum(trpaus - 0.25, 0.0) / 0.15
     )
+    deta1 = 0.09 + 0.16 * (0.4 - trpaus) / 0.3
+    return rh2, deta1
+
+
+def critical_rh(
+    eta_k: Array, trpaus: Array, coeffs: Tuple[Array, Array] | None = None
+) -> Array:
+    """Critical relative-humidity profile (reference ``cloudsc2.py:166-186``)."""
+    rh2, deta1 = critical_rh_coeffs(trpaus) if coeffs is None else coeffs
+    rh1 = 1.0
     rh3 = 1.0
     deta2 = 0.3
-    deta1 = 0.09 + 0.16 * (0.4 - trpaus) / 0.3
     sq = jnp.sqrt(jnp.maximum((1.0 - eta_k) / deta1, 0.0))
     return jnp.where(
         eta_k < trpaus,
@@ -111,6 +121,7 @@ def nl_level(
     """
     rfl, sfl, covptot = carry
     ap = x["ap"]
+    rap = 1.0 / ap
     qsat_in = x["qsat"]
     aux: Dict[str, Array] = {}
 
@@ -129,12 +140,14 @@ def nl_level(
     meltp2 = c.RTT + 2.0
     scalm = x["scalm"]
 
-    # thermodynamic coefficients (reference :129-134)
+    # thermodynamic coefficients (reference :129-134); one reciprocal of the
+    # moist heat capacity instead of three VPU divides
     dp = x["aph1"] - x["aph0"]
     zz = c.RCPD + c.RCPD * c.RVTMP2 * q
-    lfdcp = c.RLMLT / zz
-    lsdcp = c.RLSTT / zz
-    lvdcp = c.RLVTT / zz
+    rzz = 1.0 / zz
+    lfdcp = c.RLMLT * rzz
+    lsdcp = c.RLSTT * rzz
+    lvdcp = c.RLVTT * rzz
     aux.update(dp=dp, zz=zz, lfdcp=lfdcp, lsdcp=lsdcp, lvdcp=lvdcp)
 
     # dqs/dT correction factor (reference :140-160); LPHYLIN/LDRAIN1D static
@@ -144,12 +157,12 @@ def nl_level(
         z3es = jnp.where(cold, c.R3IES, c.R3LES)
         z4es = jnp.where(cold, c.R4IES, c.R4LES)
         foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) / (t - z4es))
-        esdp1 = foeew / ap
+        esdp1 = foeew * rap
         esdp = jnp.minimum(esdp1, c.ZQMAX)
     else:
         fwat = fcttre.foealfa(t, c)
         foeew = fcttre.foeewm(t, c)
-        esdp1 = foeew / ap
+        esdp1 = foeew * rap
         esdp = esdp1
     facw = c.R5LES / (t - c.R4LES) ** 2.0
     faci = c.R5IES / (t - c.R4IES) ** 2.0
@@ -166,8 +179,13 @@ def nl_level(
     qlim = jnp.minimum(q, qsat_in)
     aux["qlim"] = qlim
 
-    # critical humidity and ice supersaturation (reference :166-193)
-    crh2 = critical_rh(x["eta"], trpaus)
+    # critical humidity and ice supersaturation (reference :166-193);
+    # per-column coefficients may arrive precomputed (Pallas path hoists
+    # them out of the level loop via the kernel's col inputs)
+    coeffs = (
+        (x["crh_rh2"], x["crh_deta1"]) if "crh_rh2" in x else None
+    )
+    crh2 = critical_rh(x["eta"], trpaus, coeffs)
     supsat_fac = jnp.where(t < c.RTICE, 1.8 - 0.003 * t, 1.0)
     qsat = qsat_in * supsat_fac
     qcrit = crh2 * qsat
@@ -204,7 +222,8 @@ def nl_level(
     qc = jnp.where(lo1, qc + lude, qc)
     aux.update(gdp=gdp, lude=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
 
-    # compensating subsidence (reference :217-224)
+    # compensating subsidence (reference :217-224); fac4 = 1/rho = RD*t/ap
+    # computed without a third divide
     fac1 = 1.0 / (c.RD * t)
     rho = ap * fac1
     fac2 = 1.0 / (ap - c.RETV * foeew)
@@ -213,7 +232,7 @@ def nl_level(
     fac3 = 1.0 / (1.0 + ldcp * dqsdtemp)
     dtdzmo = c.RG * (1.0 / c.RCPD - ldcp * rodqsdp) * fac3
     dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
-    fac4 = 1.0 / rho
+    fac4 = c.RD * t * rap
     sub = dt * dqsdz * (x["mfu"] + x["mfd"]) * fac4
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
@@ -226,8 +245,9 @@ def nl_level(
     # new condensate and condensation rates (reference :226-230)
     qlwc = qc * fwat
     qiwc = qc * (1.0 - fwat)
-    condl = (qlwc - ql) / dt
-    condi = (qiwc - qi) / dt
+    rdt = 1.0 / dt  # dt is static: the reciprocal is a compile-time constant
+    condl = (qlwc - ql) * rdt
+    condi = (qiwc - qi) * rdt
     aux.update(qlwc1=qlwc, qiwc1=qiwc, condl1=condl, condi1=condi)
 
     # maximum precipitation overlap (reference :232-235)
@@ -356,8 +376,8 @@ def nl_level(
     fwatr2 = jnp.where(coldt2, 0.0, 1.0)
     rn = fwatr2 * dr2
     sn = (1.0 - fwatr2) * dr2
-    condl2 = condl + fwatr2 * dq / dt
-    condi2 = condi + (1.0 - fwatr2) * dq / dt
+    condl2 = condl + fwatr2 * dq * rdt
+    condi2 = condi + (1.0 - fwatr2) * dq * rdt
     rfln = rfln + rn
     sfln = sfln + sn
     rfreeze3 = rfreeze + rfreeze2
@@ -375,8 +395,8 @@ def nl_level(
         - (lsdcp - lvdcp) * rfreeze3
     )
     tnd_t = lvdcp * condl2 + lsdcp * condi2 - tmp8 * gdp
-    tnd_ql = (qlwc - ql) / dt
-    tnd_qi = (qiwc - qi) / dt
+    tnd_ql = (qlwc - ql) * rdt
+    tnd_qi = (qiwc - qi) * rdt
 
     outs = {
         "tnd_t": tnd_t,

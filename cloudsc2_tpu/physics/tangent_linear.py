@@ -134,7 +134,8 @@ def tl_level(
     qlim_i = jnp.where(overs, qsat_in_i, q_i)
 
     # critical humidity and ice supersaturation (reference :232-265)
-    crh2 = critical_rh(x["eta"], trpaus)
+    coeffs = (x["crh_rh2"], x["crh_deta1"]) if "crh_rh2" in x else None
+    crh2 = critical_rh(x["eta"], trpaus, coeffs)
     cold_ice = t < c.RTICE
     supsat_fac = jnp.where(cold_ice, 1.8 - 0.003 * t, 1.0)
     supsat_fac_i = jnp.where(cold_ice, -0.003 * t_i, 0.0)
@@ -245,10 +246,11 @@ def tl_level(
     qlwc_i = qc_i * fwat + qc * fwat_i
     qiwc = qc * (1.0 - fwat)
     qiwc_i = qc_i * (1.0 - fwat) - qc * fwat_i
-    condl = (qlwc - ql) / dt
-    condl_i = (qlwc_i - ql_i) / dt
-    condi = (qiwc - qi) / dt
-    condi_i = (qiwc_i - qi_i) / dt
+    rdt = 1.0 / dt  # dt is static: the reciprocal is a compile-time constant
+    condl = (qlwc - ql) * rdt
+    condl_i = (qlwc_i - ql_i) * rdt
+    condi = (qiwc - qi) * rdt
+    condi_i = (qiwc_i - qi_i) * rdt
 
     # maximum precipitation overlap (reference :388-397)
     grow = clc > covptot
@@ -470,10 +472,10 @@ def tl_level(
     rn_i = fwatr2 * dr2_i
     sn = (1.0 - fwatr2) * dr2
     sn_i = (1.0 - fwatr2) * dr2_i
-    condl = condl + fwatr2 * dq / dt
-    condl_i = condl_i + fwatr2 * dq_i / dt
-    condi = condi + (1.0 - fwatr2) * dq / dt
-    condi_i = condi_i + (1.0 - fwatr2) * dq_i / dt
+    condl = condl + fwatr2 * dq * rdt
+    condl_i = condl_i + fwatr2 * dq_i * rdt
+    condi = condi + (1.0 - fwatr2) * dq * rdt
+    condi_i = condi_i + (1.0 - fwatr2) * dq_i * rdt
     rfln = rfln + rn
     rfln_i = rfln_i + rn_i
     sfln = sfln + sn
@@ -519,10 +521,10 @@ def tl_level(
         "tnd_t_i": tnd_t_i,
         "tnd_q": tnd_q,
         "tnd_q_i": tnd_q_i,
-        "tnd_ql": (qlwc - ql) / dt,
-        "tnd_ql_i": (qlwc_i - ql_i) / dt,
-        "tnd_qi": (qiwc - qi) / dt,
-        "tnd_qi_i": (qiwc_i - qi_i) / dt,
+        "tnd_ql": (qlwc - ql) * rdt,
+        "tnd_ql_i": (qlwc_i - ql_i) * rdt,
+        "tnd_qi": (qiwc - qi) * rdt,
+        "tnd_qi_i": (qiwc_i - qi_i) * rdt,
         "clc": clc,
         "clc_i": clc_i,
         "covptot": covptot_out,

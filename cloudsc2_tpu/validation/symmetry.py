@@ -86,20 +86,25 @@ class SymmetryTest:
         return cloudsc2_tl, cloudsc2_ad
 
     def run(self, state: Dict[str, Array], dt: float) -> Tuple[np.ndarray, np.ndarray]:
+        from cloudsc2_tpu.utils.timing import timing
+
         c = self.constants
         tl_fn, ad_fn = self._tl_ad()
         state = dict(state)
-        state["qsat"] = saturation(
-            state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
-        )
+        with timing("saturation"):
+            state["qsat"] = saturation(
+                state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
+            )
 
         # x = f * state, with the supsat increment zeroed (reference
         # validation.py:116-122)
-        incr = state_increment(state, self.factor, ignore_supsat=True)
+        with timing("state_increment"):
+            incr = state_increment(state, self.factor, ignore_supsat=True)
         state.update(incr)
 
         # y = M x
-        tends_tl, diags_tl = tl_fn(state, dt, c)
+        with timing("cloudsc2_tl"):
+            tends_tl, diags_tl = tl_fn(state, dt, c)
         norm1 = self.get_norm1(tends_tl, diags_tl)
 
         # feed the TL outputs into the adjoint as cotangent seeds (reference
@@ -111,7 +116,8 @@ class SymmetryTest:
             state[name + "_i"] = diags_tl[name + "_i"]
 
         # x* = M* y
-        tends_ad, diags_ad = ad_fn(state, dt, c)
+        with timing("cloudsc2_ad"):
+            tends_ad, diags_ad = ad_fn(state, dt, c)
         norm2 = self.get_norm2(incr, tends_ad, diags_ad)
         return np.asarray(norm1), np.asarray(norm2)
 

@@ -63,21 +63,33 @@ class TaylorTest:
         return cloudsc2_nl, cloudsc2_tl
 
     def run(self, state: Dict[str, Array], dt: float) -> np.ndarray:
+        from cloudsc2_tpu.utils.timing import timing
+
         c = self.constants
         nl_fn, tl_fn = self._nl_tl()
         state = dict(state)
-        state["qsat"] = saturation(
-            state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
-        )
-        tends_nl, diags_nl = nl_fn(state, dt, c)
+        # per-phase timing labels — the analogue of the reference's
+        # per-stencil exec_info entries filtered into the stencils CSV
+        # (run_taylor_test.py:185-196: "cloudsc", "saturation",
+        # "increment", "perturbed")
+        with timing("saturation"):
+            state["qsat"] = saturation(
+                state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
+            )
+        with timing("cloudsc2_nl"):
+            tends_nl, diags_nl = nl_fn(state, dt, c)
 
-        state.update(state_increment(state, self.factor1))
-        tends_tl, diags_tl = tl_fn(state, dt, c)
+        with timing("state_increment"):
+            state.update(state_increment(state, self.factor1))
+        with timing("cloudsc2_tl"):
+            tends_tl, diags_tl = tl_fn(state, dt, c)
 
         norms = np.zeros(len(self.factor2s))
         for i, f2 in enumerate(self.factor2s):
-            state_p = perturbed_state(state, f2)
-            tends_p, diags_p = nl_fn(state_p, dt, c)
+            with timing("perturbed_state"):
+                state_p = perturbed_state(state, f2)
+            with timing("cloudsc2_nl"):
+                tends_p, diags_p = nl_fn(state_p, dt, c)
             norms[i] = self.get_norm(
                 f2, tends_nl, diags_nl, tends_p, diags_p, tends_tl, diags_tl
             )

@@ -24,7 +24,11 @@ def core(config, io_config, factor, config_impl="scan"):
 
     from cloudsc2_tpu import iox, make_constants
     from cloudsc2_tpu.components import EtaLevels
-    from cloudsc2_tpu.utils.output import print_performance, write_performance_to_csv
+    from cloudsc2_tpu.utils.output import (
+        print_performance,
+        write_performance_to_csv,
+        write_stencils_performance_to_csv,
+    )
     from cloudsc2_tpu.utils.timing import Timer, timing
     from cloudsc2_tpu.validation.symmetry import SymmetryTest
 
@@ -70,6 +74,20 @@ def core(config, io_config, factor, config_impl="scan"):
             mflops_mean=stats[2],
             mflops_stddev=stats[3],
         )
+    if io_config.output_csv_file_stencils:
+        import jax
+
+        write_stencils_performance_to_csv(
+            io_config.output_csv_file_stencils,
+            host_name=io_config.host_name,
+            precision=config.precision,
+            backend="jax:" + jax.devices()[0].platform,
+            num_cols=grid.ncols,
+            num_threads=config.num_threads,
+            num_runs=config.num_runs,
+            exec_info={k: Timer.get_time(k, "ms") for k in Timer.labels()},
+            key_patterns=("cloudsc", "saturation", "increment", "perturbed"),
+        )
     return 0 if err < 1e4 else 1
 
 
@@ -81,10 +99,12 @@ def core(config, io_config, factor, config_impl="scan"):
 @click.option("--factor", type=float, default=0.01)
 @click.option("--input-file", type=str, default=None)
 @click.option("--output-csv-file", type=str, default=None)
+@click.option("--output-csv-file-stencils", type=str, default=None)
 @click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
               help="kernel implementation (pallas: f32 TPU kernels)")
 @click.option("--host-alias", type=str, default="localhost")
-def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_file, impl, host_alias):
+def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_file,
+         output_csv_file_stencils, impl, host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
@@ -93,7 +113,9 @@ def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_
         .with_input_file(input_file)
     )
     io_config = (
-        DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file).with_host_name(host_alias)
+        DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
+        .with_output_csv_file_stencils(output_csv_file_stencils)
+        .with_host_name(host_alias)
     )
     sys.exit(core(config, io_config, factor, impl))
 
