@@ -125,3 +125,37 @@ def test_run_nonlinear_driver_validates(precision):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "HOORAY" in proc.stdout
+
+
+def test_input_h5_roundtrip(tmp_path):
+    """write_input_h5 -> load_input preserves fields, dt, and namelist params
+    (the reference's state-load contract, setup.py:28-70 + iox.py:212-244)."""
+    from cloudsc2_tpu import iox
+
+    grid, state, dt = iox.synthesize_input(ncols=8, nlev=11, seed=3)
+    path = str(tmp_path / "input.h5")
+    iox.write_input_h5(path, state, dt)
+    grid2, state2, dt2, params = iox.load_input(path)
+    assert (grid2.ncols, grid2.nlev) == (grid.ncols, grid.nlev)
+    assert dt2 == dt
+    for name, arr in state.items():
+        np.testing.assert_array_equal(state2[name], arr, err_msg=name)
+    # namelist groups round-trip through their H5 prefixes (iox.py:230-238)
+    assert params["yrecldp"].RKCONV == pytest.approx(iox.YrecldpParams().RKCONV)
+    assert params["yrncl"].LREGCL == iox.YrnclParams().LREGCL
+
+
+def test_load_input_column_tiling(tmp_path):
+    """load_input(ncols=N) tiles/truncates columns like the reference's
+    --num-cols handling (run_nonlinear.py:174)."""
+    from cloudsc2_tpu import iox
+
+    grid, state, dt = iox.synthesize_input(ncols=8, nlev=11, seed=3)
+    path = str(tmp_path / "input.h5")
+    iox.write_input_h5(path, state, dt)
+    g_small, s_small, _, _ = iox.load_input(path, ncols=5)
+    assert g_small.ncols == 5
+    np.testing.assert_array_equal(s_small["t"], state["t"][:, :5])
+    g_big, s_big, _, _ = iox.load_input(path, ncols=19)
+    assert g_big.ncols == 19
+    np.testing.assert_array_equal(s_big["t"][:, 8:16], state["t"])
