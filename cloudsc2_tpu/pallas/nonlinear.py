@@ -52,7 +52,10 @@ LEVEL_OUTPUTS = (
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll"),
+    static_argnames=(
+        "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
+        "fuse_saturation", "kflag",
+    ),
 )
 def cloudsc2_nl_pallas(
     state: Dict[str, Array],
@@ -63,6 +66,8 @@ def cloudsc2_nl_pallas(
     kb: int | None = None,
     wb: int | None = None,
     unroll: int | None = None,
+    fuse_saturation: bool = False,
+    kflag: int = 1,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -70,6 +75,13 @@ def cloudsc2_nl_pallas(
     Requires ``ncols`` to be a multiple of ``8 * WB`` (4096); use
     :func:`cloudsc2_tpu.parallel.mesh.pad_columns` otherwise.  float32 only
     (TPU Mosaic has no f64); the ``lax.scan`` path remains the f64 oracle.
+
+    ``fuse_saturation=True`` computes ``qsat`` (the Saturation component,
+    reference ``saturation.py:23-42``) and the first-guess temperature
+    *inside* the kernel instead of reading them from HBM — the single-kernel
+    hot path for the reference's saturation+NL loop
+    (``run_nonlinear.py:115-119``); ``qsat`` is then returned as an extra
+    diagnostic.  ``state["qsat"]``/precomputed ``t_fg`` are not read.
     """
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
@@ -91,22 +103,35 @@ def cloudsc2_nl_pallas(
         "q": state["q"],
         "qi": state["qi"],
         "ql": state["ql"],
-        "qsat": state["qsat"],
         "supsat": state["supsat"],
-        "t_fg": t_fg,
         "tnd_cml_q": state["tnd_cml_q"],
         "tnd_cml_qi": state["tnd_cml_qi"],
         "tnd_cml_ql": state["tnd_cml_ql"],
     }
+    if fuse_saturation:
+        level_inputs["t"] = state["t"]
+        level_inputs["tnd_cml_t"] = state["tnd_cml_t"]
+    else:
+        level_inputs["qsat"] = state["qsat"]
+        level_inputs["t_fg"] = t_fg
 
     def body(carry, x, col, _g):
         carry_in = carry
         x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"])
+        if fuse_saturation:
+            from cloudsc2_tpu.physics.saturation import saturation
+
+            x["qsat"] = saturation(
+                x["ap"], x["t"], kflag=kflag, lphylin=c.LPHYLIN, c=c
+            )
+            x["t_fg"] = x["t"] + dt * x["tnd_cml_t"]
         carry, outs, _aux = nl_level(
             NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
         )
         outs["fhpsl"] = -outs["fplsl"] * c.RLVTT
         outs["fhpsn"] = -outs["fplsn"] * c.RLSTT
+        if fuse_saturation:
+            outs["qsat"] = x["qsat"]
         if with_trajectory:
             # carry *entering* the level: the trajectory the adjoint's
             # reverse sweep re-linearizes around (the reference AD instead
@@ -116,6 +141,8 @@ def cloudsc2_nl_pallas(
         return tuple(carry), outs
 
     out_names = LEVEL_OUTPUTS + (("c_rfl", "c_sfl", "c_cov") if with_trajectory else ())
+    if fuse_saturation:
+        out_names = out_names + ("qsat",)
     named = level_scan_pallas(
         body,
         level_inputs=level_inputs,
@@ -148,6 +175,8 @@ def cloudsc2_nl_pallas(
         "fhpsl": jnp.concatenate([zrow, named["fhpsl"]], axis=0),
         "fhpsn": jnp.concatenate([zrow, named["fhpsn"]], axis=0),
     }
+    if fuse_saturation:
+        diags["qsat"] = named["qsat"]
     if with_trajectory:
         traj = {n: named[n] for n in ("c_rfl", "c_sfl", "c_cov")}
         return tends, diags, traj

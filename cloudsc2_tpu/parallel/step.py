@@ -60,9 +60,27 @@ def forward_step(
     state: Dict[str, Array], dt: float, c: Constants, impl: str = "auto"
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Saturation + nonlinear scheme (the reference hot loop,
-    ``drivers/run_nonlinear.py:115-119``)."""
+    ``drivers/run_nonlinear.py:115-119``).
+
+    On the Pallas path the saturation diagnostic is fused into the NL
+    kernel (one kernel launch, qsat never round-trips through HBM);
+    ``diags["qsat"]`` then carries the Saturation component's output.
+    """
     s = dict(state)
     s["eta"] = eta_levels(s["ap"], s["aph"])
+    if impl in ("pallas", "pallas-interpret") or (
+        impl == "auto"
+        and s["ap"].dtype == jnp.float32
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from cloudsc2_tpu.pallas.nonlinear import WB, cloudsc2_nl_pallas
+
+        if s["ap"].shape[1] % (8 * WB) == 0:
+            return cloudsc2_nl_pallas(
+                s, dt, c,
+                interpret=impl == "pallas-interpret",
+                fuse_saturation=True,
+            )
     s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
     return _nl_impl(s, dt, c, impl)
 
@@ -130,9 +148,21 @@ def make_sharded_forward_step(
 
     def wrapped(state):
         in_specs = ({k: spec2d for k in state},)
+        # discover the diag key set (the fused Pallas path adds "qsat") by
+        # abstractly tracing on the PER-DEVICE shard shapes — the Pallas
+        # eligibility check (lane-aligned local columns) must see what each
+        # device sees, not the global shape
+        nshards = mesh.devices.size
+        local_abs = {
+            k: jax.ShapeDtypeStruct(
+                (v.shape[0], v.shape[1] // nshards) if v.ndim == 2 else v.shape,
+                v.dtype,
+            )
+            for k, v in state.items()
+        }
+        diag_keys = jax.eval_shape(local_fn, local_abs)[1].keys()
         out_specs = ({k: spec2d for k in ("t", "q", "ql", "qi")},
-                     {k: spec2d for k in ("clc", "covptot", "fplsl", "fplsn",
-                                          "fhpsl", "fhpsn")})
+                     {k: spec2d for k in diag_keys})
         # check_vma=False: pallas_call outputs carry no varying-mesh-axis
         # annotation; the kernel is purely local so the check adds nothing
         return shard_map(

@@ -64,6 +64,29 @@ def test_pallas_nl_unrolled_matches_scan(f32_state, unroll):
         )
 
 
+def test_pallas_nl_fused_saturation(f32_state):
+    """fuse_saturation=True computes qsat + first-guess T in-kernel and
+    matches the separate Saturation -> NL pipeline (the reference hot loop,
+    run_nonlinear.py:115-119, as one kernel launch)."""
+    s, dt, c = f32_state
+    tends_ref, diags_ref = cloudsc2_nl(s, dt, c)
+    s_nq = {k: v for k, v in s.items() if k != "qsat"}
+    tends, diags = cloudsc2_nl_pallas(
+        s_nq, dt, c, interpret=True, fuse_saturation=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(diags["qsat"]), np.asarray(s["qsat"]), rtol=1e-6, atol=1e-10
+    )
+    for n in tends_ref:
+        np.testing.assert_allclose(
+            np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=2e-5, atol=1e-8, err_msg=n
+        )
+    for n in diags_ref:
+        np.testing.assert_allclose(
+            np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=2e-5, atol=1e-6, err_msg=n
+        )
+
+
 def test_pallas_nl_rejects_ragged_columns(f32_state):
     s, dt, c = f32_state
     bad = {k: (v if v.ndim < 2 else v[:, : 8 * WB - 8]) for k, v in s.items()}
