@@ -223,6 +223,11 @@ def _select_impl(impl: str, state: Mapping[str, Array]) -> str:
     """Resolve impl="auto": Pallas on an accelerator for f32 lane-aligned
     columns, ``lax.scan`` otherwise (CPU, f64, ragged columns)."""
     if impl != "auto":
+        if impl == "pallas" and state["ap"].dtype != jnp.float32:
+            raise ValueError(
+                "impl='pallas' requires single precision (TPU Mosaic has no "
+                "f64); use --precision single or impl='scan' (the f64 oracle)"
+            )
         return impl
     import jax
 

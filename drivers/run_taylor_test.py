@@ -35,9 +35,18 @@ def core(config, io_config, factor1, factor2s, config_impl="scan"):
     config.jax_config.apply()
     dtype = config.dtype
 
-    if config.input_file:
+    import os
+
+    input_file = config.input_file
+    if input_file is None:
+        default_input = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "data", "input_synth.h5"
+        )
+        if os.path.exists(default_input):
+            input_file = default_input
+    if input_file:
         grid, state_np, dt, params = iox.load_input(
-            config.input_file, ncols=config.num_cols, dtype=dtype
+            input_file, ncols=config.num_cols, dtype=dtype
         )
         c = make_constants(lphylin=True, ldrain1d=False, **params)
     else:

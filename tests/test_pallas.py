@@ -87,6 +87,16 @@ def test_pallas_nl_fused_saturation(f32_state):
         )
 
 
+def test_component_pallas_rejects_f64():
+    """impl='pallas' on f64 state raises a clear error (Mosaic has no f64;
+    the scan path is the f64 oracle)."""
+    from cloudsc2_tpu.components import _select_impl
+
+    s = {"ap": jnp.zeros((4, 8), jnp.float64)}
+    with pytest.raises(ValueError, match="single precision"):
+        _select_impl("pallas", s)
+
+
 def test_pallas_nl_rejects_ragged_columns(f32_state):
     s, dt, c = f32_state
     bad = {k: (v if v.ndim < 2 else v[:, : 8 * WB - 8]) for k, v in s.items()}
