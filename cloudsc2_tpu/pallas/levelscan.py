@@ -66,8 +66,11 @@ def level_scan_pallas(
     Python loop (static VMEM row indices), letting Mosaic software-pipeline
     the independent per-level computations across the sequential carry
     chain — the VPU-latency-hiding analogue of the reference backends'
-    k-loop unrolling; intermediate values unroll the ``fori_loop`` by that
-    factor.
+    k-loop unrolling.  Intermediate values run a manual partial unroll
+    (``unroll`` levels per ``fori_loop`` iteration — Mosaic's ``fori_loop``
+    only supports full unroll) and must divide ``kb`` exactly.
+    (Measured on v5e: neither helps — the kernels are VPU-op-bound and
+    Mosaic already pipelines the rolled loop well.)
 
     ``reverse=True`` sweeps levels bottom-up (the adjoint direction,
     reference ``computation(BACKWARD)``, ``adjoint/_stencils/cloudsc2.py:
@@ -84,6 +87,11 @@ def level_scan_pallas(
     sample = next(iter(level_inputs.values()))
     nlev, ncols = sample.shape
     dtype = sample.dtype
+    if dtype == jnp.float64:
+        raise ValueError(
+            "Pallas kernels require single precision (TPU Mosaic has no f64); "
+            "use the lax.scan implementation (the f64 oracle) instead"
+        )
     if ncols % (8 * wb) != 0:
         raise ValueError(f"ncols={ncols} must be a multiple of {8 * wb}")
     w = ncols // 8

@@ -40,10 +40,6 @@ KB = 16
 WB = 512
 UNROLL = 1
 
-LEVEL_INPUTS = (
-    "ap", "aph0", "aph1", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
-    "qsat", "supsat", "t_fg", "tnd_cml_q", "tnd_cml_qi", "tnd_cml_ql",
-)
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_q", "tnd_ql", "tnd_qi", "clc", "covptot",
     "fplsl", "fplsn", "fhpsl", "fhpsn",

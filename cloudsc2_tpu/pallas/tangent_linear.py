@@ -31,15 +31,6 @@ Array = jnp.ndarray
 KB = 16
 WB = 256
 
-#: forward per-level inputs (as the NL kernel, but with raw t/tnd_cml_t for
-#: the tangent of the first guess) + their perturbations
-LEVEL_INPUTS = (
-    "ap", "aph0", "aph1", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
-    "qsat", "supsat", "t_fg", "tnd_cml_q", "tnd_cml_qi", "tnd_cml_ql",
-    "ap_i", "aph0_i", "aph1_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
-    "q_i", "qi_i", "ql_i", "qsat_i", "supsat_i", "t_i", "tnd_cml_q_i",
-    "tnd_cml_qi_i", "tnd_cml_ql_i", "tnd_cml_t_i",
-)
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_t_i", "tnd_q", "tnd_q_i", "tnd_ql", "tnd_ql_i",
     "tnd_qi", "tnd_qi_i", "clc", "clc_i", "covptot", "covptot_i",

@@ -37,22 +37,37 @@ from cloudsc2_tpu.validation.symmetry import (
 Array = jnp.ndarray
 
 
+def _use_pallas(state: Dict[str, Array], impl: str) -> bool:
+    """One eligibility predicate for every NL entry point.
+
+    Explicit ``pallas``/``pallas-interpret`` always selects the kernel (it
+    raises a clear ValueError on f64 or ragged columns rather than silently
+    degrading to scan); ``auto`` picks the kernel only when it is known to
+    work: f32, lane-aligned columns, accelerator backend."""
+    if impl in ("pallas", "pallas-interpret"):
+        return True
+    if impl != "auto":
+        return False
+    from cloudsc2_tpu.pallas.nonlinear import WB
+
+    return (
+        state["ap"].dtype == jnp.float32
+        and state["ap"].shape[1] % (8 * WB) == 0
+        and jax.default_backend() != "cpu"
+    )
+
+
 def _nl_impl(state: Dict[str, Array], dt: float, c: Constants, impl: str):
     """Select the NL implementation: hand-written Pallas kernel on TPU for
     f32 with lane-aligned columns, ``lax.scan`` otherwise (CPU, f64, or
     ragged column counts).  ``pallas-interpret`` forces the kernel in
     interpreter mode (CPU testing)."""
-    if impl in ("pallas", "pallas-interpret") or (
-        impl == "auto"
-        and state["ap"].dtype == jnp.float32
-        and jax.default_backend() not in ("cpu",)
-    ):
-        from cloudsc2_tpu.pallas.nonlinear import WB, cloudsc2_nl_pallas
+    if _use_pallas(state, impl):
+        from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
-        if state["ap"].shape[1] % (8 * WB) == 0:
-            return cloudsc2_nl_pallas(
-                state, dt, c, interpret=impl == "pallas-interpret"
-            )
+        return cloudsc2_nl_pallas(
+            state, dt, c, interpret=impl == "pallas-interpret"
+        )
     return cloudsc2_nl(state, dt, c)
 
 
@@ -68,19 +83,14 @@ def forward_step(
     """
     s = dict(state)
     s["eta"] = eta_levels(s["ap"], s["aph"])
-    if impl in ("pallas", "pallas-interpret") or (
-        impl == "auto"
-        and s["ap"].dtype == jnp.float32
-        and jax.default_backend() not in ("cpu",)
-    ):
-        from cloudsc2_tpu.pallas.nonlinear import WB, cloudsc2_nl_pallas
+    if _use_pallas(s, impl):
+        from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
-        if s["ap"].shape[1] % (8 * WB) == 0:
-            return cloudsc2_nl_pallas(
-                s, dt, c,
-                interpret=impl == "pallas-interpret",
-                fuse_saturation=True,
-            )
+        return cloudsc2_nl_pallas(
+            s, dt, c,
+            interpret=impl == "pallas-interpret",
+            fuse_saturation=True,
+        )
     s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
     return _nl_impl(s, dt, c, impl)
 

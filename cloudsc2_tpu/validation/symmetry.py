@@ -91,20 +91,24 @@ class SymmetryTest:
         c = self.constants
         tl_fn, ad_fn = self._tl_ad()
         state = dict(state)
+        import jax
+
         with timing("saturation"):
-            state["qsat"] = saturation(
+            state["qsat"] = jax.block_until_ready(saturation(
                 state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
-            )
+            ))
 
         # x = f * state, with the supsat increment zeroed (reference
         # validation.py:116-122)
         with timing("state_increment"):
-            incr = state_increment(state, self.factor, ignore_supsat=True)
+            incr = jax.block_until_ready(
+                state_increment(state, self.factor, ignore_supsat=True)
+            )
         state.update(incr)
 
         # y = M x
         with timing("cloudsc2_tl"):
-            tends_tl, diags_tl = tl_fn(state, dt, c)
+            tends_tl, diags_tl = jax.block_until_ready(tl_fn(state, dt, c))
         norm1 = self.get_norm1(tends_tl, diags_tl)
 
         # feed the TL outputs into the adjoint as cotangent seeds (reference
@@ -117,7 +121,7 @@ class SymmetryTest:
 
         # x* = M* y
         with timing("cloudsc2_ad"):
-            tends_ad, diags_ad = ad_fn(state, dt, c)
+            tends_ad, diags_ad = jax.block_until_ready(ad_fn(state, dt, c))
         norm2 = self.get_norm2(incr, tends_ad, diags_ad)
         return np.asarray(norm1), np.asarray(norm2)
 

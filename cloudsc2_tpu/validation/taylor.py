@@ -72,24 +72,26 @@ class TaylorTest:
         # per-stencil exec_info entries filtered into the stencils CSV
         # (run_taylor_test.py:185-196: "cloudsc", "saturation",
         # "increment", "perturbed")
+        import jax
+
         with timing("saturation"):
-            state["qsat"] = saturation(
+            state["qsat"] = jax.block_until_ready(saturation(
                 state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
-            )
+            ))
         with timing("cloudsc2_nl"):
-            tends_nl, diags_nl = nl_fn(state, dt, c)
+            tends_nl, diags_nl = jax.block_until_ready(nl_fn(state, dt, c))
 
         with timing("state_increment"):
-            state.update(state_increment(state, self.factor1))
+            state.update(jax.block_until_ready(state_increment(state, self.factor1)))
         with timing("cloudsc2_tl"):
-            tends_tl, diags_tl = tl_fn(state, dt, c)
+            tends_tl, diags_tl = jax.block_until_ready(tl_fn(state, dt, c))
 
         norms = np.zeros(len(self.factor2s))
         for i, f2 in enumerate(self.factor2s):
             with timing("perturbed_state"):
-                state_p = perturbed_state(state, f2)
+                state_p = jax.block_until_ready(perturbed_state(state, f2))
             with timing("cloudsc2_nl"):
-                tends_p, diags_p = nl_fn(state_p, dt, c)
+                tends_p, diags_p = jax.block_until_ready(nl_fn(state_p, dt, c))
             norms[i] = self.get_norm(
                 f2, tends_nl, diags_nl, tends_p, diags_p, tends_tl, diags_tl
             )

@@ -11,6 +11,15 @@ from cloudsc2_tpu.config import Config, IOConfig
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 
 
+def default_input_file() -> str | None:
+    """The synthetic input file (upstream ``data/input.h5`` schema), if it
+    exists — drivers load it and tile columns to ``--num-cols`` like the
+    reference does, so golden validation works at any column count; callers
+    fall back to in-memory synthesis when it is absent."""
+    path = os.path.normpath(os.path.join(_DATA_DIR, "input_synth.h5"))
+    return path if os.path.exists(path) else None
+
+
 def default_reference_file(precision: str) -> str:
     """Golden-output file for the synthetic workload, per precision
     (the analogue of ``data/reference_{double,single}.h5``,

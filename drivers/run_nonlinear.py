@@ -52,13 +52,9 @@ def core(config, io_config, impl="auto"):
     # outputs are column-periodic tiles of the same profiles, so validation
     # works at any --num-cols.  Synthesis is the fallback when no input
     # exists (the upstream data/input.h5 is a stripped blob, SURVEY.md §0).
-    input_file = config.input_file
-    if input_file is None:
-        default_input = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", "data", "input_synth.h5"
-        )
-        if os.path.exists(default_input):
-            input_file = default_input
+    from drivers.config import default_input_file
+
+    input_file = config.input_file or default_input_file()
     if input_file:
         grid, state_np, dt, params = iox.load_input(
             input_file, ncols=config.num_cols, dtype=dtype
@@ -171,8 +167,15 @@ def config_tolerances(config):
     # legitimately reaches ~1e-3 relative on CPU and ~6e-3 on TPU, where the
     # Mosaic/XLA transcendental implementations differ from the host libm
     # that produced the goldens (measured worst cases: clc 2.8e-3 rel /
-    # 1.6e-4 abs, fhpsl 6.2e-3 rel, Pallas kernel on v5e).
-    atol, rtol = (1e-16, 1e-10) if config.precision == "double" else (2e-4, 1e-2)
+    # 1.6e-4 abs, fhpsl 6.2e-3 rel, Pallas kernel on v5e).  Keep the gate
+    # tight on CPU — only accelerator backends get the wider tolerance.
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
+    if config.precision == "double":
+        atol, rtol = (1e-16, 1e-10)
+    else:
+        atol, rtol = (2e-4, 1e-2) if on_accel else (1e-8, 2e-3)
     if getattr(config, "_atol", None) is not None:
         atol = config._atol
     if getattr(config, "_rtol", None) is not None:

@@ -35,15 +35,9 @@ def core(config, io_config, factor, config_impl="scan"):
     config.jax_config.apply()
     dtype = config.dtype
 
-    import os
+    from drivers.config import default_input_file
 
-    input_file = config.input_file
-    if input_file is None:
-        default_input = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", "data", "input_synth.h5"
-        )
-        if os.path.exists(default_input):
-            input_file = default_input
+    input_file = config.input_file or default_input_file()
     if input_file:
         grid, state_np, dt, params = iox.load_input(
             input_file, ncols=config.num_cols, dtype=dtype
@@ -95,7 +89,7 @@ def core(config, io_config, factor, config_impl="scan"):
             num_threads=config.num_threads,
             num_runs=config.num_runs,
             exec_info={k: Timer.get_time(k, "ms") for k in Timer.labels()},
-            key_patterns=("cloudsc", "saturation", "increment", "perturbed"),
+            key_patterns=("cloudsc", "saturation", "increment"),
         )
     return 0 if err < 1e4 else 1
 

@@ -35,15 +35,9 @@ def core(config, io_config, factor1, factor2s, config_impl="scan"):
     config.jax_config.apply()
     dtype = config.dtype
 
-    import os
+    from drivers.config import default_input_file
 
-    input_file = config.input_file
-    if input_file is None:
-        default_input = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", "data", "input_synth.h5"
-        )
-        if os.path.exists(default_input):
-            input_file = default_input
+    input_file = config.input_file or default_input_file()
     if input_file:
         grid, state_np, dt, params = iox.load_input(
             input_file, ncols=config.num_cols, dtype=dtype
