@@ -125,8 +125,12 @@ def read_params(f: Any) -> Dict[str, Any]:
 
 
 def read_timestep(f: Any) -> float:
-    """Physics timestep in seconds (reference ``iox.py:221-222``)."""
-    return float(np.asarray(f.get("PTSPHY", [0.0])[...]).reshape(-1)[0])
+    """Physics timestep in seconds (reference ``iox.py:221-222``);
+    0.0 when the dataset is absent."""
+    ds = f.get("PTSPHY")
+    if ds is None:
+        return 0.0
+    return float(np.asarray(ds[...]).reshape(-1)[0])
 
 
 def read_reference(

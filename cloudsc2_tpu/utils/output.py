@@ -58,8 +58,28 @@ def print_performance(
 
 
 def _append_row(path: str, header: Sequence[str], row: Sequence) -> None:
+    """Append a row, writing the header on first use.
+
+    If the file already exists with a *different* header (e.g. a per-kernel
+    CSV shared between protocols with different kernel label sets), the row
+    is realigned to the existing header — missing columns become empty —
+    and labels absent from the existing header raise rather than silently
+    landing under wrongly-named columns.
+    """
     exists = os.path.exists(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if exists:
+        with open(path, newline="") as f:
+            existing = next(csv.reader(f), None)
+        if existing and list(existing) != list(header):
+            by_name = dict(zip(header, row))
+            extra = sorted(set(header) - set(existing))
+            if extra:
+                raise ValueError(
+                    f"{path}: columns {extra} are not in the existing CSV "
+                    f"header {existing}; write to a fresh file"
+                )
+            header, row = existing, [by_name.get(k, "") for k in existing]
     with open(path, "a", newline="") as f:
         w = csv.writer(f)
         if not exists:

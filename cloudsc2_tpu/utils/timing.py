@@ -23,6 +23,24 @@ from typing import Dict, Iterator
 _UNITS = {"s": 1.0, "ms": 1e3, "us": 1e6}
 
 
+def device_sync(tree):
+    """Synchronize on a computation before exiting a ``timing`` block.
+
+    ``jax.block_until_ready`` plus a one-element device-to-host fetch of the
+    first array leaf: the fetch is required because the remote-TPU tunnel
+    only truly synchronizes on a D2H transfer (see ``bench.py``).  Returns
+    ``tree`` unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tree = jax.block_until_ready(tree)
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        float(jnp.ravel(leaves[0])[0])
+    return tree
+
+
 class Timer:
     """Process-wide accumulating timer keyed by label."""
 

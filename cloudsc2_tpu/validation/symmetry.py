@@ -72,43 +72,30 @@ class SymmetryTest:
     impl: str = "scan"
 
     def _tl_ad(self):
-        if self.impl in ("pallas", "pallas-interpret"):
-            from functools import partial
+        from cloudsc2_tpu.dispatch import tl_ad_fns
 
-            from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
-            from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
-
-            interp = self.impl == "pallas-interpret"
-            return (
-                partial(cloudsc2_tl_pallas, interpret=interp),
-                partial(cloudsc2_ad_pallas, interpret=interp),
-            )
-        return cloudsc2_tl, cloudsc2_ad
+        return tl_ad_fns(self.impl)
 
     def run(self, state: Dict[str, Array], dt: float) -> Tuple[np.ndarray, np.ndarray]:
-        from cloudsc2_tpu.utils.timing import timing
+        from cloudsc2_tpu.utils.timing import device_sync, timing
 
         c = self.constants
         tl_fn, ad_fn = self._tl_ad()
         state = dict(state)
-        import jax
-
         with timing("saturation"):
-            state["qsat"] = jax.block_until_ready(saturation(
+            state["qsat"] = device_sync(saturation(
                 state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=c
             ))
 
         # x = f * state, with the supsat increment zeroed (reference
         # validation.py:116-122)
         with timing("state_increment"):
-            incr = jax.block_until_ready(
-                state_increment(state, self.factor, ignore_supsat=True)
-            )
+            incr = device_sync(state_increment(state, self.factor, ignore_supsat=True))
         state.update(incr)
 
         # y = M x
         with timing("cloudsc2_tl"):
-            tends_tl, diags_tl = jax.block_until_ready(tl_fn(state, dt, c))
+            tends_tl, diags_tl = device_sync(tl_fn(state, dt, c))
         norm1 = self.get_norm1(tends_tl, diags_tl)
 
         # feed the TL outputs into the adjoint as cotangent seeds (reference
@@ -121,7 +108,7 @@ class SymmetryTest:
 
         # x* = M* y
         with timing("cloudsc2_ad"):
-            tends_ad, diags_ad = jax.block_until_ready(ad_fn(state, dt, c))
+            tends_ad, diags_ad = device_sync(ad_fn(state, dt, c))
         norm2 = self.get_norm2(incr, tends_ad, diags_ad)
         return np.asarray(norm1), np.asarray(norm2)
 

@@ -159,3 +159,34 @@ def test_load_input_column_tiling(tmp_path):
     g_big, s_big, _, _ = iox.load_input(path, ncols=19)
     assert g_big.ncols == 19
     np.testing.assert_array_equal(s_big["t"][:, 8:16], state["t"])
+
+
+def test_stencils_csv_header_realignment(tmp_path):
+    """Appending a row with a different kernel-label set realigns to the
+    existing header (missing -> empty) and rejects unknown labels."""
+    path = str(tmp_path / "st.csv")
+    kw = dict(host_name="h", precision="double", backend="b", num_cols=1,
+              num_threads=1, num_runs=1, key_patterns=("cloudsc",))
+    write_stencils_performance_to_csv(path, exec_info={"cloudsc2_nl": 1.0, "cloudsc2_tl": 2.0}, **kw)
+    # subset of labels: realigned, missing column empty
+    write_stencils_performance_to_csv(path, exec_info={"cloudsc2_nl": 3.0}, **kw)
+    rows = open(path).read().strip().splitlines()
+    assert rows[0].endswith("cloudsc2_nl,cloudsc2_tl")
+    assert rows[2].endswith("3.0,")
+    # unknown label: rejected
+    with pytest.raises(ValueError, match="not in the existing CSV header"):
+        write_stencils_performance_to_csv(path, exec_info={"cloudsc2_ad": 4.0}, **kw)
+
+
+def test_read_timestep_missing_dataset(tmp_path):
+    """read_timestep returns 0.0 when PTSPHY is absent (reference
+    iox.py:221-222 default)."""
+    import h5py
+
+    from cloudsc2_tpu import iox
+
+    path = str(tmp_path / "empty.h5")
+    with h5py.File(path, "w"):
+        pass
+    with h5py.File(path, "r") as f:
+        assert iox.read_timestep(f) == 0.0
