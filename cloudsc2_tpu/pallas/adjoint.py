@@ -44,6 +44,7 @@ from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
 from cloudsc2_tpu.pallas.nonlinear import (
     cloudsc2_nl_pallas,
     critical_rh_coeffs,
+    scalm_profile,
     tropopause_eta,
 )
 from cloudsc2_tpu.params import Constants
@@ -98,7 +99,7 @@ def cloudsc2_ad_pallas(
 
     # ---- reverse-kernel inputs ----
     eta = state["eta"].astype(dtype)
-    scalm = jnp.asarray(0.9, dtype) * jnp.maximum(eta - 0.2, 1e-12) ** 0.2
+    scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     trpaus = tropopause_eta(eta, t_fg)
     lu = state["lu"]

@@ -29,6 +29,7 @@ from cloudsc2_tpu.physics.nonlinear import (
     NLCarry,
     critical_rh_coeffs,
     nl_level,
+    scalm_profile,
     tropopause_eta,
 )
 
@@ -83,7 +84,7 @@ def cloudsc2_nl_pallas(
     dtype = state["ap"].dtype
 
     eta = state["eta"].astype(dtype)
-    scalm = jnp.asarray(0.9, dtype) * jnp.maximum(eta - 0.2, 1e-12) ** 0.2
+    scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     trpaus = tropopause_eta(eta, t_fg)
     lu = state["lu"]

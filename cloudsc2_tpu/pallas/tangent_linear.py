@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
 from cloudsc2_tpu.params import Constants
-from cloudsc2_tpu.physics.nonlinear import critical_rh_coeffs, tropopause_eta
+from cloudsc2_tpu.physics.nonlinear import critical_rh_coeffs, scalm_profile, tropopause_eta
 from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
 Array = jnp.ndarray
@@ -48,7 +48,7 @@ def cloudsc2_tl_pallas(
     dtype = state["ap"].dtype
 
     eta = state["eta"].astype(dtype)
-    scalm = jnp.asarray(0.9, dtype) * jnp.maximum(eta - 0.2, 1e-12) ** 0.2
+    scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     trpaus = tropopause_eta(eta, t_fg)
     lu, lu_i = state["lu"], state["lu_i"]

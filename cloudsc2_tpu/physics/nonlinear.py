@@ -69,6 +69,14 @@ def tropopause_eta(eta: Array, t_fg: Array) -> Array:
     return jnp.where(best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, eta.dtype))
 
 
+def scalm_profile(eta: Array, c: Constants) -> Array:
+    """The scheme's vertical scaling profile ZSCAL*max(eta-0.2, ZEPS1)**0.2
+    (reference ``cloudsc2.py:163``) — one definition shared by the scan path
+    and all three Pallas wrappers so a Constants override is honored
+    everywhere."""
+    return jnp.asarray(c.ZSCAL, eta.dtype) * jnp.maximum(eta - 0.2, c.ZEPS1) ** 0.2
+
+
 def critical_rh_coeffs(trpaus: Array) -> Tuple[Array, Array]:
     """Per-column coefficients of the critical-RH profile — a pure function
     of the tropopause eta, hoisted out of the level loop (the reference
@@ -411,7 +419,7 @@ def nl_level(
     return NLCarry(rfln, sfln, covptot), outs, aux
 
 
-def prepare_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Array]:
+def prepare_level_inputs(state: Dict[str, Array], dt: float, c: Constants) -> Dict[str, Array]:
     """Build the per-level scan inputs from a state dict.
 
     ``state`` keys follow the reference field names without the ``f_``
@@ -422,7 +430,6 @@ def prepare_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Array]
     """
     lu = state["lu"]
     eta = state["eta"]
-    zeps1 = 1e-12
     # one-level lookahead for the detrainment source; the reference reads
     # in_lu[0, 0, 1], which at the last level falls into the zero-initialized
     # storage padding (cloudsc2.py:212-214) — equivalently lu_next[-1] = 0.
@@ -446,7 +453,7 @@ def prepare_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Array]
         "tnd_cml_qi": state["tnd_cml_qi"],
         "tnd_cml_ql": state["tnd_cml_ql"],
         "eta": eta,
-        "scalm": jnp.asarray(0.9, lu.dtype) * jnp.maximum(eta - 0.2, zeps1) ** 0.2,
+        "scalm": scalm_profile(eta.astype(lu.dtype), c),
     }
 
 
@@ -462,7 +469,7 @@ def cloudsc2_nl(
     (full levels) and ``fhpsl, fhpsn, fplsl, fplsn`` (interface levels,
     ``(nlev+1, ncols)``).
     """
-    xs = prepare_level_inputs(state, dt)
+    xs = prepare_level_inputs(state, dt, c)
     ncols = state["ap"].shape[1]
     dtype = state["ap"].dtype
     t_fg = xs["t_fg"]

@@ -366,7 +366,16 @@ def tl_level(
             * (
                 (
                     tmp6 * preclr_i
-                    + 0.5 * preclr_safe * ap_i / (tmp6 * ap)
+                    # exact derivative of tmp6 = sqrt(ap/aph_s):
+                    # 0.5*tmp6*ap_i/ap = 0.5*ap_i/(tmp6*aph_s).  The
+                    # reference TL writes 0.5*preclr*ap_i/tmp6
+                    # (tangent_linear/_stencils/cloudsc2.py:567), which is
+                    # aph_s times the true derivative — an apparent
+                    # transcription slip in a branch the reference compiles
+                    # out by default (LEVAPLS2=False) and never validates;
+                    # we keep the exact form, pinned by the jax.jvp
+                    # cross-check with LEVAPLS2=True.
+                    + 0.5 * preclr_safe * ap_i / (tmp6 * aph_s)
                     - 0.5 * preclr_safe * tmp6 * aph_s_i / aph_s
                 )
                 / covpclr_safe
@@ -374,9 +383,15 @@ def tl_level(
             )
         )
         b = dt * beta * (qsat_in - qe) / (1.0 + dt * beta * corqs)
+        # quotient rule for b = u/v, u = dt*beta*(qsat-qe),
+        # v = 1 + dt*beta*corqs: the second term is u*v_i/v^2 = dt*b*(...)/v.
+        # The reference TL writes dt**2*b*(...)/v
+        # (tangent_linear/_stencils/cloudsc2.py:579-581) — an extra factor of
+        # dt (~600x) in a branch it compiles out by default; we keep the
+        # exact derivative, pinned by the jax.jvp cross-check.
         b_i = dt * (beta_i * (qsat_in - qe) + beta * (qsat_in_i - qe_i)) / (
             1.0 + dt * beta * corqs
-        ) - dt**2.0 * b * (beta_i * corqs + beta * corqs_i) / (1.0 + dt * beta * corqs)
+        ) - dt * b * (beta_i * corqs + beta * corqs_i) / (1.0 + dt * beta * corqs)
         dtgdp = dt * c.RG / (x["aph1"] - x["aph0"])
         dtgdp_i = -dt * c.RG * (x["aph1_i"] - x["aph0_i"]) / (x["aph1"] - x["aph0"]) ** 2.0
         dpr = covpclr * b / dtgdp
@@ -537,9 +552,9 @@ def tl_level(
     return TLCarry(rfln, sfln, covptot, rfln_i, sfln_i, covptot_i), outs
 
 
-def prepare_tl_level_inputs(state: Dict[str, Array], dt: float) -> Dict[str, Array]:
+def prepare_tl_level_inputs(state: Dict[str, Array], dt: float, c: Constants) -> Dict[str, Array]:
     """Per-level scan inputs including the perturbation fields."""
-    xs = prepare_level_inputs(state, dt)
+    xs = prepare_level_inputs(state, dt, c)
     lu_i = state["lu_i"]
     xs.update(
         ap_i=state["ap_i"],
@@ -582,7 +597,7 @@ def cloudsc2_tl(
     the TPU analogue of the reference adjoint's forward-recompute strategy
     (``adjoint/_stencils/cloudsc2.py:133-476``).
     """
-    xs = prepare_tl_level_inputs(state, dt)
+    xs = prepare_tl_level_inputs(state, dt, c)
     ncols = state["ap"].shape[1]
     dtype = state["ap"].dtype
     trpaus = tropopause_eta(state["eta"].astype(dtype), xs["t_fg"])

@@ -94,3 +94,50 @@ def test_tl_zero_increment_gives_zero(state_with_qsat, constants):
         assert np.abs(np.asarray(tends_tl[n + "_i"])).max() == 0.0
     for n in ("clc", "fplsl", "fplsn"):
         assert np.abs(np.asarray(diags_tl[n + "_i"])).max() == 0.0
+
+
+def test_tl_matches_jvp_with_evaporation_branch():
+    """TL == jax.jvp(NL) with the precipitation-evaporation branch compiled
+    in (LEVAPLS2=True, LREGCL off).
+
+    The reference compiles this branch out by default (YrphncParams
+    LEVAPLS2=False) and never validates its TL, which contains two
+    transcription errors we fix (see tangent_linear.py: the beta_i tmp6
+    derivative and the extra dt in b_i's quotient-rule term); this test pins
+    the exact-derivative forms.  Small shapes: the branch is transcendental-
+    heavy and the jvp graph is large.
+    """
+    from cloudsc2_tpu import iox
+    from cloudsc2_tpu.physics.diagnostics import eta_levels
+    from cloudsc2_tpu.physics.saturation import saturation
+
+    _, s, dt = iox.synthesize_input(ncols=8, nlev=30, seed=0)
+    state = {k: jnp.asarray(v) for k, v in s.items()}
+    state["eta"] = eta_levels(state["ap"], state["aph"])
+    c = make_constants(lphylin=True, ldrain1d=False, lregcl=False).replace(LEVAPLS2=True)
+    state["qsat"] = saturation(state["ap"], state["t"], kflag=1, lphylin=True, c=c)
+
+    incr = state_increment(state, 0.01)
+    primals = {n: state[n] for n in INCREMENT_FIELDS}
+    tangents = {n: incr[n + "_i"] for n in INCREMENT_FIELDS}
+
+    def f(p):
+        s2 = dict(state)
+        s2.update(p)
+        return cloudsc2_nl(s2, dt, c)
+
+    (tends_nl, diags_nl), (tends_dot, diags_dot) = jax.jvp(f, (primals,), (tangents,))
+    s_tl = dict(state)
+    s_tl.update(incr)
+    tends_tl, diags_tl = cloudsc2_tl(s_tl, dt, c)
+
+    # the branch must actually be active for this test to mean anything
+    assert (np.asarray(diags_nl["covptot"]) != 0).any()
+    for n in ("t", "q", "ql", "qi"):
+        a, b = np.asarray(tends_tl[n + "_i"]), np.asarray(tends_dot[n])
+        scale = np.abs(np.asarray(tends_nl[n])).max() * 0.01 + 1e-300
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
+    for n in ("clc", "fplsl", "fplsn", "covptot"):
+        a, b = np.asarray(diags_tl[n + "_i"]), np.asarray(diags_dot[n])
+        scale = max(np.abs(np.asarray(diags_nl[n])).max() * 0.01, 1e-300)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
