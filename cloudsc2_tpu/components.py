@@ -75,7 +75,10 @@ TEND_UNITS = {
 
 
 def _props(names: Mapping[str, Tuple[str, ...]]) -> PropertyDict:
-    return {n: {"dims": d, "units": UNITS.get(n.rstrip("_i"), "")} for n, d in names.items()}
+    return {
+        n: {"dims": d, "units": UNITS.get(n[:-2] if n.endswith("_i") else n, "")}
+        for n, d in names.items()
+    }
 
 
 class Component:
@@ -221,26 +224,18 @@ _NL_DIAGS = {
 
 def _select_impl(impl: str, state: Mapping[str, Array]) -> str:
     """Resolve impl="auto": Pallas on an accelerator for f32 lane-aligned
-    columns, ``lax.scan`` otherwise (CPU, f64, ragged columns)."""
+    columns, ``lax.scan`` otherwise (CPU, f64, ragged columns); the shared
+    predicate is :func:`cloudsc2_tpu.dispatch.use_pallas`."""
+    from cloudsc2_tpu.dispatch import use_pallas
+
+    if impl == "pallas" and state["ap"].dtype != jnp.float32:
+        raise ValueError(
+            "impl='pallas' requires single precision (TPU Mosaic has no "
+            "f64); use --precision single or impl='scan' (the f64 oracle)"
+        )
     if impl != "auto":
-        if impl == "pallas" and state["ap"].dtype != jnp.float32:
-            raise ValueError(
-                "impl='pallas' requires single precision (TPU Mosaic has no "
-                "f64); use --precision single or impl='scan' (the f64 oracle)"
-            )
         return impl
-    import jax
-
-    from cloudsc2_tpu.pallas.nonlinear import WB
-
-    ap = state["ap"]
-    if (
-        ap.dtype == jnp.float32
-        and ap.shape[1] % (8 * WB) == 0
-        and jax.default_backend() != "cpu"
-    ):
-        return "pallas"
-    return "scan"
+    return "pallas" if use_pallas(state, impl) else "scan"
 
 
 class Cloudsc2NL(Component):
@@ -347,7 +342,12 @@ class Cloudsc2AD(Component):
         self._check_state(state)
         impl = _select_impl(self.impl, state)
         c = self.constants
-        if impl in ("pallas", "pallas-interpret") and c.LPHYLIN and not c.LEVAPLS2:
+        if (
+            impl in ("pallas", "pallas-interpret")
+            and c.LPHYLIN
+            and not c.LEVAPLS2
+            and not c.LDRAIN1D
+        ):
             from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
 
             return cloudsc2_ad_pallas(

@@ -13,13 +13,38 @@ strings, ``run_nonlinear.py:156-158``):
   a clear ``ValueError`` otherwise).
 - ``"pallas-interpret"`` — the kernels in interpreter mode (CPU testing).
 
-Component-level ``"auto"`` resolution (pick Pallas when it is known to
-work) lives in :func:`cloudsc2_tpu.components._select_impl` and
-:func:`cloudsc2_tpu.parallel.step._use_pallas`.
+``"auto"`` resolution (pick Pallas when it is known to work) is
+:func:`use_pallas` below, shared by the component layer and the step
+functions.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Mapping, Tuple
+
+
+def use_pallas(state: Mapping, impl: str) -> bool:
+    """One auto/explicit Pallas eligibility predicate for every entry point.
+
+    Explicit ``pallas``/``pallas-interpret`` always selects the kernel (it
+    raises a clear ValueError on f64 or ragged columns rather than silently
+    degrading to scan); ``auto`` picks the kernel only when it is known to
+    work: f32, lane-aligned columns, accelerator backend.
+    """
+    if impl in ("pallas", "pallas-interpret"):
+        return True
+    if impl != "auto":
+        return False
+    import jax
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu.pallas.nonlinear import WB
+
+    ap = state["ap"]
+    return (
+        ap.dtype == jnp.float32
+        and ap.shape[1] % (8 * WB) == 0
+        and jax.default_backend() != "cpu"
+    )
 
 
 def nl_tl_fns(impl: str) -> Tuple[Callable, Callable]:

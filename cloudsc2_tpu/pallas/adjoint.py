@@ -41,8 +41,8 @@ import jax
 import jax.numpy as jnp
 
 from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
-from cloudsc2_tpu.pallas.nonlinear import (
-    cloudsc2_nl_pallas,
+from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
+from cloudsc2_tpu.physics.nonlinear import (
     critical_rh_coeffs,
     scalm_profile,
     tropopause_eta,
@@ -83,10 +83,16 @@ def cloudsc2_ad_pallas(
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
-    if not c.LPHYLIN or c.LEVAPLS2:
+    if not c.LPHYLIN or c.LEVAPLS2 or c.LDRAIN1D:
+        # LDRAIN1D also activates the precipitation-evaporation branch
+        # (tangent_linear.py: ``if c.LEVAPLS2 or c.LDRAIN1D``), whose TL
+        # depends on the surface-pressure perturbation aph_s_i — a cotangent
+        # this kernel does not produce (it passes zeros for aph_s_i); the
+        # scan adjoint handles it exactly.
         raise ValueError(
-            "cloudsc2_ad_pallas requires LPHYLIN=True and LEVAPLS2=False "
-            "(use physics.adjoint.cloudsc2_ad otherwise)"
+            "cloudsc2_ad_pallas requires LPHYLIN=True and "
+            "LEVAPLS2=LDRAIN1D=False (use physics.adjoint.cloudsc2_ad "
+            "otherwise)"
         )
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
 from cloudsc2_tpu.params import Constants
-from cloudsc2_tpu.physics.nonlinear import critical_rh_coeffs, scalm_profile, tropopause_eta
+from cloudsc2_tpu.physics.nonlinear import (
+    critical_rh_coeffs,
+    scalm_profile,
+    tropopause_eta,
+)
 from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
 Array = jnp.ndarray

@@ -31,12 +31,17 @@ def initialize_distributed(**kwargs: Any) -> None:
     mesh, with coordinator address/process counts from the launcher
     environment (``jax.distributed.initialize`` auto-detects on TPU pods).
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    # Do NOT touch any backend-initializing JAX API (jax.process_count,
+    # jax.devices, ...) before calling initialize(): that initializes a
+    # local-only XLA backend and initialize() then always raises.
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process (no coordinator configured): run on local devices
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # runtime (e.g. a TPU pod launcher) initialized it for us
+        raise
+    except ValueError:
+        # single-process (no coordinator configured anywhere): local devices
         pass
 
 

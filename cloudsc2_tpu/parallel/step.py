@@ -37,24 +37,7 @@ from cloudsc2_tpu.validation.symmetry import (
 Array = jnp.ndarray
 
 
-def _use_pallas(state: Dict[str, Array], impl: str) -> bool:
-    """One eligibility predicate for every NL entry point.
-
-    Explicit ``pallas``/``pallas-interpret`` always selects the kernel (it
-    raises a clear ValueError on f64 or ragged columns rather than silently
-    degrading to scan); ``auto`` picks the kernel only when it is known to
-    work: f32, lane-aligned columns, accelerator backend."""
-    if impl in ("pallas", "pallas-interpret"):
-        return True
-    if impl != "auto":
-        return False
-    from cloudsc2_tpu.pallas.nonlinear import WB
-
-    return (
-        state["ap"].dtype == jnp.float32
-        and state["ap"].shape[1] % (8 * WB) == 0
-        and jax.default_backend() != "cpu"
-    )
+from cloudsc2_tpu.dispatch import use_pallas as _use_pallas
 
 
 def _nl_impl(state: Dict[str, Array], dt: float, c: Constants, impl: str):
@@ -157,7 +140,12 @@ def make_sharded_forward_step(
         return forward_step(state, dt, c, impl=impl)
 
     def wrapped(state):
-        in_specs = ({k: spec2d for k in state},)
+        # 1-D fields (the eta coordinate) are replicated; 2-D fields are
+        # column-sharded (same rank rule as mesh.state_shardings)
+        def spec_for(v):
+            return spec2d if v.ndim == 2 else P()
+
+        in_specs = ({k: spec_for(v) for k, v in state.items()},)
         # discover the diag key set (the fused Pallas path adds "qsat") by
         # abstractly tracing on the PER-DEVICE shard shapes — the Pallas
         # eligibility check (lane-aligned local columns) must see what each

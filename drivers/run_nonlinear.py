@@ -80,10 +80,23 @@ def core(config, io_config, impl="auto"):
 
     state.update(eta_levels(state))
 
-    def run_once(s):
-        s = dict(s)
-        s.update(saturation(s))
-        return cloudsc2_nl(s, dt)
+    if config.sharded:
+        # GSPMD cannot partition a pallas_call: the sharded hot loop runs
+        # the fused forward step under shard_map (per-device local kernels,
+        # no communication — columns are independent)
+        from cloudsc2_tpu.parallel.step import make_sharded_forward_step
+
+        sharded_step = make_sharded_forward_step(mesh, dt=dt, c=c, impl=impl)
+
+        def run_once(s):
+            tends, diags = sharded_step(s)
+            diags = {k: v for k, v in diags.items() if k != "qsat"}
+            return tends, diags
+    else:
+        def run_once(s):
+            s = dict(s)
+            s.update(saturation(s))
+            return cloudsc2_nl(s, dt)
 
     def sync(out):
         # force execution + D2H of one scalar (see module docstring)
