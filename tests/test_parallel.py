@@ -115,3 +115,20 @@ def test_forward_step_jit_cache_stable(state_with_qsat, constants):
     tends, diags = step(state)
     assert not np.isnan(np.asarray(tends["t"])).any()
     assert np.asarray(diags["fplsl"]).shape[0] == 138
+
+
+def test_sharded_forward_step_compiles_to_zero_collectives(constants):
+    """Columns are independent (SURVEY.md §2.3): the sharded forward step
+    must lower to per-device local compute with NO cross-device
+    communication — collectives appear only in the validation norms."""
+    from cloudsc2_tpu import iox
+    from cloudsc2_tpu.parallel.step import make_sharded_forward_step
+
+    _, state_np, dt = iox.synthesize_input(ncols=8 * 128, nlev=16, seed=0, dtype=np.float32)
+    state = {k: jnp.asarray(v, jnp.float32) for k, v in state_np.items()}
+    mesh = column_mesh(8)
+    sharded = shard_state(state, mesh)
+    step = make_sharded_forward_step(mesh, dt=dt, c=constants, impl="scan")
+    hlo = step.lower(sharded).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, f"unexpected collective {coll} in sharded forward step"
