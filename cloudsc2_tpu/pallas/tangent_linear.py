@@ -32,7 +32,7 @@ from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
 Array = jnp.ndarray
 
-KB = 16
+KB = 8  # measured on v5e: kb=8/wb=256 edges out 16/256 (8.78M vs 8.67M cols/s)
 WB = 256
 
 LEVEL_OUTPUTS = (
@@ -42,9 +42,14 @@ LEVEL_OUTPUTS = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret"))
+@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb"))
 def cloudsc2_tl_pallas(
-    state: Dict[str, Array], dt: float, c: Constants, interpret: bool = False
+    state: Dict[str, Array],
+    dt: float,
+    c: Constants,
+    interpret: bool = False,
+    kb: int | None = None,
+    wb: int | None = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.tangent_linear.
     cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns)."""
@@ -112,8 +117,8 @@ def cloudsc2_tl_pallas(
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=LEVEL_OUTPUTS,
         ncarry=6,
-        kb=KB,
-        wb=WB,
+        kb=KB if kb is None else kb,
+        wb=WB if wb is None else wb,
         interpret=interpret,
     )
 
