@@ -72,3 +72,21 @@ def test_nonlinear_columns_independent(state_with_qsat, constants):
     sub = {k: (v if v.ndim == 1 else v[:, 10:20]) for k, v in state.items()}
     tends_sub, _ = cloudsc2_nl(sub, dt, constants)
     np.testing.assert_array_equal(np.asarray(tends["t"])[:, 10:20], np.asarray(tends_sub["t"]))
+
+
+def test_nonlinear_matches_oracle_ldrain1d(state_with_qsat):
+    """LDRAIN1D=True vs the independent oracle: exercises the 1-D rain
+    configuration (lcrit=1.9*RCLCRIT, icrit=1e-4, evaporation active)."""
+    _, state, dt = state_with_qsat
+    c = make_constants(lphylin=True, ldrain1d=True)
+    tends, diags = cloudsc2_nl(state, dt, c)
+    np_state = {k: np.asarray(v) for k, v in state.items()}
+    tends_o, diags_o = oracle_nonlinear(np_state, dt, c)
+    for name in ("t", "q", "ql", "qi"):
+        np.testing.assert_allclose(
+            np.asarray(tends[name]), tends_o[name], rtol=1e-10, atol=1e-13, err_msg=name
+        )
+    for name in ("clc", "covptot", "fplsl", "fplsn", "fhpsl", "fhpsn"):
+        np.testing.assert_allclose(
+            np.asarray(diags[name]), diags_o[name], rtol=1e-10, atol=1e-13, err_msg=name
+        )
