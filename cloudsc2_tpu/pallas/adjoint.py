@@ -77,9 +77,14 @@ def _pad(x: Array, kp: int, mode: str) -> Array:
     return jnp.pad(x, ((0, kp - x.shape[0]), (0, 0)), mode=mode)
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret"))
+@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb"))
 def cloudsc2_ad_pallas(
-    state: Dict[str, Array], dt: float, c: Constants, interpret: bool = False
+    state: Dict[str, Array],
+    dt: float,
+    c: Constants,
+    interpret: bool = False,
+    kb: int | None = None,
+    wb: int | None = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
@@ -94,9 +99,11 @@ def cloudsc2_ad_pallas(
             "LEVAPLS2=LDRAIN1D=False (use physics.adjoint.cloudsc2_ad "
             "otherwise)"
         )
+    kb = KB if kb is None else kb
+    wb = WB if wb is None else wb
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
-    kp = math.ceil(nlev / KB) * KB
+    kp = math.ceil(nlev / kb) * kb
 
     # ---- phase 1: forward trajectory (NL kernel) ----
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
@@ -184,8 +191,8 @@ def cloudsc2_ad_pallas(
                        "scalm": _pad(scalm[:, None], kp, "edge")[:, 0]},
         out_names=tuple("cot_" + n for n in XI_NAMES),
         ncarry=3,
-        kb=KB,
-        wb=WB,
+        kb=kb,
+        wb=wb,
         reverse=True,
         interpret=interpret,
     )
