@@ -1,0 +1,56 @@
+"""Sweep KB/WB for the TL Pallas kernel on a TPU.
+
+Measured on v5e: kb=8/wb=256 (default) 8.78M cols/s; 16/256 8.67M;
+8/512 8.53M; 4/512 7.81M.
+"""
+import time, json
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax.numpy as jnp
+import numpy as np
+from functools import partial
+from cloudsc2_tpu import iox, make_constants
+from cloudsc2_tpu.physics.diagnostics import eta_levels
+from cloudsc2_tpu.physics.saturation import saturation
+from cloudsc2_tpu.physics.increment import state_increment
+from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+NCOLS = 1 << 16
+NLEV = 137
+LONG, SHORT = 24, 4
+
+_, s, dt = iox.synthesize_input(ncols=4096, nlev=NLEV, seed=0, dtype=np.float32)
+reps = NCOLS // 4096
+state = {k: (jnp.tile(jnp.asarray(v, jnp.float32), (1, reps)) if v.ndim == 2 else jnp.asarray(v, jnp.float32)) for k, v in s.items()}
+c = make_constants(lphylin=True, ldrain1d=False)
+state["eta"] = eta_levels(state["ap"], state["aph"])
+state["qsat"] = saturation(state["ap"], state["t"], kflag=1, lphylin=True, c=c)
+state.update(state_increment(state, 0.01))
+
+@partial(jax.jit, static_argnames=("n", "kb", "wb"))
+def chain(state, n, kb, wb):
+    def body(_, st):
+        tends, _d = cloudsc2_tl_pallas(st, dt, c, kb=kb, wb=wb)
+        st = dict(st)
+        st["t"] = st["t"] + jnp.asarray(1e-30, st["t"].dtype) * tends["t"]
+        return st
+    return jax.lax.fori_loop(0, n, body, dict(state))["t"]
+
+def fetch(x):
+    return float(jnp.sum(x[0]))
+
+for kb, wb in [(16, 256), (8, 512), (8, 256), (4, 512)]:
+    try:
+        t0 = time.time()
+        fetch(chain(state, SHORT, kb, wb)); fetch(chain(state, LONG, kb, wb))
+        compile_s = time.time() - t0
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter(); fetch(chain(state, SHORT, kb, wb)); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); fetch(chain(state, LONG, kb, wb)); tl = time.perf_counter() - t0
+            per = (tl - ts) / (LONG - SHORT)
+            best = per if best is None else min(best, per)
+        print(json.dumps({"kb": kb, "wb": wb, "per_step_ms": best*1e3,
+                          "cols_per_sec": NCOLS/best, "compile_s": compile_s}), flush=True)
+    except Exception as e:
+        print(json.dumps({"kb": kb, "wb": wb, "error": str(e)[:160]}), flush=True)
