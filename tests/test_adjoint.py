@@ -37,7 +37,7 @@ def test_ad_forward_matches_nl(state_with_qsat, constants):
         np.testing.assert_allclose(
             np.asarray(tends_ad[n]), np.asarray(tends_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
         )
-    for n in ("clc", "fplsl", "fplsn"):
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
         np.testing.assert_allclose(
             np.asarray(diags_ad[n]), np.asarray(diags_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
         )
@@ -49,7 +49,9 @@ def test_symmetry_with_regularization(state_with_qsat, constants):
     (reference adjoint/validation.py:155-165)."""
     _, state, dt = state_with_qsat
     st = SymmetryTest(constants=constants)
-    err = st(state, dt, verbose=True)
+    norm1, norm2 = st.run(state, dt)
+    assert np.abs(norm1).max() > 0, "dead TL pipeline: all norms zero"
+    err = st.validate(norm1, norm2, verbose=True)
     assert err < 1e4
 
 
@@ -57,7 +59,9 @@ def test_symmetry_without_regularization(state_with_qsat):
     _, state, dt = state_with_qsat
     c = make_constants(lphylin=True, ldrain1d=False, lregcl=False)
     st = SymmetryTest(constants=c)
-    err = st(state, dt, verbose=False)
+    norm1, norm2 = st.run(state, dt)
+    assert np.abs(norm1).max() > 0, "dead TL pipeline: all norms zero"
+    err = st.validate(norm1, norm2, verbose=False)
     assert err < 1e4
 
 
@@ -67,6 +71,7 @@ def test_symmetry_exactness_f64(state_with_qsat, constants):
     _, state, dt = state_with_qsat
     st = SymmetryTest(constants=constants)
     norm1, norm2 = st.run(state, dt)
+    assert np.abs(norm1).max() > 0
     err = st.validate(norm1, norm2, verbose=False)
     assert err < 200.0, err  # ~1e-13 relative in f64
 
@@ -95,7 +100,7 @@ def test_ad_matches_vjp_without_regularization(state_with_qsat):
         seed_diags[n] = diags_tl[n + "_i"]
     (cot,) = vjp_fn((seed_tends, seed_diags))
 
-    for n in ("t", "q", "ql", "qi", "ap", "qsat", "lude", "mfu", "mfd", "aph"):
+    for n in ("t", "q", "ql", "qi", "ap", "qsat", "lude", "mfu", "mfd", "aph", "lu", "supsat"):
         a = np.asarray(diags_ad[n + "_i"])
         b = np.asarray(cot[n])
         scale = np.abs(b).max() + 1e-300

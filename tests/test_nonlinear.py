@@ -57,10 +57,11 @@ def test_nonlinear_physical_invariants(state_with_qsat, constants):
     assert (clc >= 0).all() and (clc <= 1).all()
     assert (np.asarray(diags["fplsl"]) >= 0).all()
     assert (np.asarray(diags["fplsn"]) >= 0).all()
-    # enthalpy fluxes are consistent with precipitation fluxes
-    np.testing.assert_allclose(
-        np.asarray(diags["fhpsl"]), -np.asarray(diags["fplsl"]) * constants.RLVTT
-    )
+    # the synthetic workload must actually precipitate — an all-zero flux
+    # field would make every invariant above vacuous
+    assert np.asarray(diags["fplsl"]).max() > 0
+    assert np.asarray(diags["fplsn"]).max() > 0
+    assert clc.max() > 0
     for v in {**tends, **diags}.values():
         assert not np.isnan(np.asarray(v)).any()
 

@@ -48,19 +48,22 @@ def test_pallas_nl_matches_scan(f32_state):
 
 
 @pytest.mark.parametrize("unroll", [4, 99])
-def test_pallas_nl_unrolled_matches_scan(f32_state, unroll):
+def test_pallas_nl_unrolled_matches_rolled_kernel(f32_state, unroll):
     """The statically unrolled level loop (Mosaic software-pipelining
-    variant) is bit-compatible with the fori_loop kernel."""
+    variant) matches the rolled fori_loop kernel to within compiler-level
+    rounding: the two loop structures compile separately, and XLA's
+    fusion/FMA choices can differ by an ulp — anything beyond that is a
+    carry-handoff bug."""
     s, dt, c = f32_state
-    tends_ref, diags_ref = cloudsc2_nl(s, dt, c)
+    tends_ref, diags_ref = cloudsc2_nl_pallas(s, dt, c, interpret=True)
     tends, diags = cloudsc2_nl_pallas(s, dt, c, interpret=True, unroll=unroll)
     for n in tends_ref:
         np.testing.assert_allclose(
-            np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=2e-5, atol=1e-8, err_msg=n
+            np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=1e-6, atol=1e-12, err_msg=n
         )
     for n in diags_ref:
         np.testing.assert_allclose(
-            np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=2e-5, atol=1e-6, err_msg=n
+            np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=1e-6, atol=1e-10, err_msg=n
         )
 
 
@@ -132,9 +135,13 @@ def test_pallas_symmetry(f32_state):
     assert err < 1e4, err
 
 
-def test_pallas_ad_matches_vjp_adjoint(f32_state):
-    """The AD kernel's cotangents equal jax.vjp of the scan TL (per-field,
-    scaled by the field's magnitude) and its forward recompute equals NL."""
+def test_pallas_ad_matches_scan_adjoint(f32_state):
+    """The AD kernel's cotangents equal the scan adjoint's (vjp of the scan
+    TL), per field scaled by the field's magnitude, and its forward
+    recompute matches.  (Independent-autodiff verification of the adjoint
+    itself is tests/test_adjoint.py::test_ad_matches_vjp_without_regularization;
+    here both paths share tl_level by design, so this validates the kernel's
+    memory orchestration, not the derivative.)"""
     from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
     from cloudsc2_tpu.physics.increment import state_increment
     from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl

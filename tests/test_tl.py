@@ -29,7 +29,7 @@ def test_tl_forward_matches_nl(state_with_qsat, constants):
         np.testing.assert_allclose(
             np.asarray(tends_tl[n]), np.asarray(tends_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
         )
-    for n in ("clc", "fplsl", "fplsn"):
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
         np.testing.assert_allclose(
             np.asarray(diags_tl[n]), np.asarray(diags_nl[n]), rtol=5e-12, atol=1e-16, err_msg=n
         )
