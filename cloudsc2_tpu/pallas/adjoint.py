@@ -33,7 +33,6 @@ cotangent path is inactive, as in the reference default,
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Dict, Tuple
 
@@ -73,10 +72,6 @@ SEED_NAMES = (
 )
 
 
-def _pad(x: Array, kp: int, mode: str) -> Array:
-    return jnp.pad(x, ((0, kp - x.shape[0]), (0, 0)), mode=mode)
-
-
 @partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb"))
 def cloudsc2_ad_pallas(
     state: Dict[str, Array],
@@ -103,7 +98,6 @@ def cloudsc2_ad_pallas(
     wb = WB if wb is None else wb
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
-    kp = math.ceil(nlev / kb) * kb
 
     # ---- phase 1: forward trajectory (NL kernel) ----
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
@@ -147,12 +141,11 @@ def cloudsc2_ad_pallas(
         "s_fplsl_i": state["fplsl_i"][1:] - c.RLVTT * state["fhpsl_i"][1:],
         "s_fplsn_i": state["fplsn_i"][1:] - c.RLSTT * state["fhpsn_i"][1:],
     }
-    # pre-pad to the block multiple: forward fields edge-padded (any finite
-    # value works — zero seeds make padded levels contribute nothing),
-    # seeds ZERO-padded (required), trajectory edge-padded
-    level_inputs = {n: _pad(v, kp, "edge") for n, v in fwd.items()}
-    level_inputs.update({n: _pad(v, kp, "constant") for n, v in seeds.items()})
-    level_inputs.update({n: _pad(traj[n], kp, "edge") for n in ("c_rfl", "c_sfl", "c_cov")})
+    # no level padding: the harness's ragged edge block never touches rows
+    # beyond nlev, so seeds/trajectory pass through unpadded
+    level_inputs = dict(fwd)
+    level_inputs.update(seeds)
+    level_inputs.update({n: traj[n] for n in ("c_rfl", "c_sfl", "c_cov")})
 
     def body(cot, x, col, _g):
         z = jnp.zeros_like(x["ap"])
@@ -187,8 +180,7 @@ def cloudsc2_ad_pallas(
             trpaus=trpaus,
             aph_s=state["aph"][-1],
         ),
-        scalar_inputs={"eta": _pad(eta[:, None], kp, "edge")[:, 0],
-                       "scalm": _pad(scalm[:, None], kp, "edge")[:, 0]},
+        scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=tuple("cot_" + n for n in XI_NAMES),
         ncarry=3,
         kb=kb,

@@ -98,6 +98,17 @@ def level_scan_pallas(
     nj = w // wb
     kp = math.ceil(nlev / kb) * kb
     nkb = kp // kb
+    u = max(min(unroll, kb), 1)
+    # Default (rolled) path: NO level padding.  137 levels is prime, so any
+    # kb > 1 needs a ragged edge block; padding instead would copy every
+    # input and output array per call (~1.2 GB of HBM traffic per step at
+    # the benchmark shape).  Pallas handles the partial edge block natively
+    # (out-of-bounds rows are neither read by the loop nor stored back);
+    # the in-kernel trip count is clamped to the valid rows.  The unroll>1
+    # experimental variants need static trip counts, so they keep the
+    # padded layout.
+    ragged = u == 1
+    klev = nlev if ragged else kp
 
     def kernel(*refs):
         n_s, n_l, n_c, n_o = len(scal_names), len(names), len(col_names), len(out_names)
@@ -116,9 +127,10 @@ def level_scan_pallas(
         col = {n: r[...] for n, r in zip(col_names, col_refs)}
         # block index in array space (the index_map already reverses blocks)
         ar_kb = (nkb - 1 - kb_id) if reverse else kb_id
+        # rows of this block that exist in the (possibly ragged) array
+        valid = jnp.minimum(kb, nlev - ar_kb * kb) if ragged else kb
 
-        def step(i, carry):
-            row = (kb - 1 - i) if reverse else i
+        def step_at(row, carry):
             x = {n: r[row] for n, r in zip(names, level_refs)}
             g = ar_kb * kb + row
             for n, r in zip(scal_names, scal_refs):
@@ -129,10 +141,9 @@ def level_scan_pallas(
             return carry
 
         carry = tuple(carry_ref[j] for j in range(ncarry))
-        u = max(min(unroll, kb), 1)
         if u >= kb:
             for i in range(kb):
-                carry = step(i, carry)
+                carry = step_at((kb - 1 - i) if reverse else i, carry)
         elif u > 1:
             # manual partial unroll: Mosaic's fori_loop only supports full
             # unroll, so widen the loop body by hand — u levels per
@@ -143,12 +154,21 @@ def level_scan_pallas(
 
             def block(b, carry):
                 for j in range(u):
-                    carry = step(b * u + j, carry)
+                    i = b * u + j
+                    carry = step_at((kb - 1 - i) if reverse else i, carry)
                 return carry
 
             carry = jax.lax.fori_loop(0, kb // u, block, carry)
         else:
-            carry = jax.lax.fori_loop(0, kb, step, carry)
+            # rolled default: iterate only the valid rows (top-down:
+            # 0..valid-1; bottom-up: valid-1..0 — the ragged rows sit at
+            # the high end of the edge block in both directions)
+            carry = jax.lax.fori_loop(
+                0,
+                valid,
+                lambda i, c: step_at((valid - 1 - i) if reverse else i, c),
+                carry,
+            )
         for j in range(ncarry):
             carry_ref[j] = carry[j]
 
@@ -163,11 +183,18 @@ def level_scan_pallas(
     col_spec = pl.BlockSpec((8, wb), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    ins = (
-        [_pad_levels(scalar_inputs[n].astype(dtype), kp).reshape(kp, 1) for n in scal_names]
-        + [_pad_levels(level_inputs[n], kp).reshape(kp, 8, w) for n in names]
-        + [col_inputs[n].reshape(8, w) for n in col_names]
-    )
+    if ragged:
+        ins = (
+            [scalar_inputs[n].astype(dtype).reshape(nlev, 1) for n in scal_names]
+            + [level_inputs[n].reshape(nlev, 8, w) for n in names]
+            + [col_inputs[n].reshape(8, w) for n in col_names]
+        )
+    else:
+        ins = (
+            [_pad_levels(scalar_inputs[n].astype(dtype), kp).reshape(kp, 1) for n in scal_names]
+            + [_pad_levels(level_inputs[n], kp).reshape(kp, 8, w) for n in names]
+            + [col_inputs[n].reshape(8, w) for n in col_names]
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(nj, nkb),
@@ -175,7 +202,7 @@ def level_scan_pallas(
         + [level_spec] * len(names)
         + [col_spec] * len(col_names),
         out_specs=[level_spec] * len(out_names),
-        out_shape=[jax.ShapeDtypeStruct((kp, 8, w), dtype) for _ in out_names],
+        out_shape=[jax.ShapeDtypeStruct((klev, 8, w), dtype) for _ in out_names],
         scratch_shapes=[pltpu.VMEM((ncarry, 8, wb), dtype)],
         # column tiles are independent (carry re-zeroed at each tile's first
         # level block); only the level axis must run sequentially
@@ -185,4 +212,4 @@ def level_scan_pallas(
         interpret=interpret,
     )(*ins)
 
-    return {n: o.reshape(kp, ncols)[:nlev] for n, o in zip(out_names, outs)}
+    return {n: o.reshape(klev, ncols)[:nlev] for n, o in zip(out_names, outs)}
