@@ -90,12 +90,21 @@ class Component:
     analogue of the reference's per-stencil ``exec_info`` timings threaded
     into every stencil call (``physics/common/saturation.py:75``); the
     labels feed ``write_stencils_performance_to_csv``.
+
+    The wrapper device-syncs the outputs before closing the timing block
+    (JAX dispatch is asynchronous: without the sync the label would record
+    dispatch, not execution — the reference's ``exec_info`` measures actual
+    stencil execution, ``run_nonlinear.py:221-232``).  Set
+    ``sync_timings = False`` on a class or instance to opt out (e.g. to
+    pipeline component calls inside a larger timed region).
     """
 
     input_properties: PropertyDict = {}
     diagnostic_properties: PropertyDict = {}
     tendency_properties: PropertyDict = {}
     name: str = ""
+    #: sync outputs inside the timing block so labels measure execution
+    sync_timings: bool = True
 
     def __init_subclass__(cls, **kw: Any) -> None:
         super().__init_subclass__(**kw)
@@ -103,40 +112,84 @@ class Component:
             import functools
             import re
 
-            from cloudsc2_tpu.utils.timing import timing
+            from cloudsc2_tpu.utils import timing as _timing
 
             inner = cls.__dict__["__call__"]
             cls.name = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", cls.__name__).lower()
 
             @functools.wraps(inner)
             def timed(self, *a: Any, **k: Any):
-                with timing(self.name):
-                    return inner(self, *a, **k)
+                with _timing.timing(self.name):
+                    out = inner(self, *a, **k)
+                    if self.sync_timings:
+                        # late-bound module attribute so tests can observe
+                        # the sync and callers can monkeypatch the policy
+                        _timing.device_sync(out)
+                return out
 
             cls.__call__ = timed
 
-    def __init__(self, grid: Grid, constants: Constants, *, enable_checks: bool = False):
+    def __init__(
+        self,
+        grid: Grid,
+        constants: Constants,
+        *,
+        enable_checks: bool = False,
+        dtype: Any = None,
+    ):
         self.grid = grid
         self.constants = constants
         self.enable_checks = enable_checks
+        #: expected floating dtype under checks; None enforces uniformity only
+        self.dtype = dtype
 
-    def _check_state(self, state: Mapping[str, Array]) -> None:
-        if not self.enable_checks:
-            return
+    def _check_state(self, state: Mapping[str, Array]) -> Dict[str, Array]:
+        """Validate and normalize the declared inputs; returns the state to
+        compute on.
+
+        Unit-tagged values (:class:`cloudsc2_tpu.units.UnitArray`, or any
+        object with ``.data`` and ``.units``) are always converted to the
+        declared property units and stripped — the sympl strip/convert
+        behavior the reference components inherit (SURVEY.md §2.2) —
+        raising :class:`~cloudsc2_tpu.units.UnitsError` on dimension
+        mismatch.  With ``enable_checks``, shapes are validated against the
+        grid and dtypes must be floating and uniform (and equal to
+        ``self.dtype`` when set).
+        """
+        from cloudsc2_tpu.units import strip_units
+
+        out = dict(state)
         shapes = {
             FULL: self.grid.full_shape,
             IFACE: self.grid.iface_shape,
             VERT: (self.grid.nlev,),
         }
+        expected_dtype = self.dtype
         for name, prop in self.input_properties.items():
-            if name not in state:
+            if name not in out:
                 raise KeyError(f"{type(self).__name__}: missing input field {name!r}")
+            v = out[name] = strip_units(out[name], prop["units"])
+            if not self.enable_checks:
+                continue
             want = shapes[prop["dims"]]
-            got = tuple(state[name].shape)
+            got = tuple(v.shape)
             if got != want:
                 raise ValueError(
                     f"{type(self).__name__}: field {name!r} has shape {got}, want {want}"
                 )
+            dt = jnp.asarray(v).dtype
+            if not jnp.issubdtype(dt, jnp.floating):
+                raise TypeError(
+                    f"{type(self).__name__}: field {name!r} has non-floating dtype {dt}"
+                )
+            if expected_dtype is None:
+                expected_dtype = dt
+            elif dt != jnp.dtype(expected_dtype):
+                raise TypeError(
+                    f"{type(self).__name__}: field {name!r} has dtype {dt}, "
+                    f"want {jnp.dtype(expected_dtype)}"
+                )
+        return out
 
 
 class EtaLevels(Component):
@@ -147,7 +200,7 @@ class EtaLevels(Component):
     diagnostic_properties = _props({"eta": VERT})
 
     def __call__(self, state: Dict[str, Array]) -> Dict[str, Array]:
-        self._check_state(state)
+        state = self._check_state(state)
         return {"eta": _diagnostics.eta_levels(state["ap"], state["aph"])}
 
 
@@ -163,7 +216,7 @@ class Saturation(Component):
         self.lphylin = lphylin
 
     def __call__(self, state: Dict[str, Array]) -> Dict[str, Array]:
-        self._check_state(state)
+        state = self._check_state(state)
         qsat = _saturation(
             state["ap"], state["t"], kflag=self.kflag, lphylin=self.lphylin, c=self.constants
         )
@@ -185,7 +238,7 @@ class StateIncrement(Component):
         self.ignore_supsat = ignore_supsat
 
     def __call__(self, state: Dict[str, Array]) -> Dict[str, Array]:
-        self._check_state(state)
+        state = self._check_state(state)
         return _increment.state_increment(state, self.factor, ignore_supsat=self.ignore_supsat)
 
 
@@ -206,7 +259,7 @@ class PerturbedState(Component):
         self.factor = factor
 
     def __call__(self, state: Dict[str, Array]) -> Dict[str, Array]:
-        self._check_state(state)
+        state = self._check_state(state)
         return _increment.perturbed_state(state, self.factor)
 
 
@@ -255,7 +308,7 @@ class Cloudsc2NL(Component):
     def __call__(
         self, state: Dict[str, Array], timestep: float
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
-        self._check_state(state)
+        state = self._check_state(state)
         impl = _select_impl(self.impl, state)
         if impl in ("pallas", "pallas-interpret"):
             from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
@@ -290,7 +343,7 @@ class Cloudsc2TL(Component):
     def __call__(
         self, state: Dict[str, Array], timestep: float
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
-        self._check_state(state)
+        state = self._check_state(state)
         impl = _select_impl(self.impl, state)
         if impl in ("pallas", "pallas-interpret"):
             from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
@@ -339,7 +392,7 @@ class Cloudsc2AD(Component):
     def __call__(
         self, state: Dict[str, Array], timestep: float
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
-        self._check_state(state)
+        state = self._check_state(state)
         impl = _select_impl(self.impl, state)
         c = self.constants
         if (

@@ -100,8 +100,12 @@ def cloudsc2_ad_pallas(
     dtype = state["ap"].dtype
 
     # ---- phase 1: forward trajectory (NL kernel) ----
+    # kb/wb are forwarded so tuning the adjoint tunes both sweeps and the
+    # column-tile requirement is ncols % (8*wb) for the whole kernel pair
+    # (the NL default wb=512 would otherwise silently demand ncols % 4096
+    # even when the reverse kernel's wb allows less)
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
-        state, dt, c, interpret=interpret, with_trajectory=True
+        state, dt, c, interpret=interpret, with_trajectory=True, kb=kb, wb=wb
     )
 
     # ---- reverse-kernel inputs ----

@@ -75,10 +75,18 @@ def level_scan_pallas(
     ``reverse=True`` sweeps levels bottom-up (the adjoint direction,
     reference ``computation(BACKWARD)``, ``adjoint/_stencils/cloudsc2.py:
     479-996``): the carry is zero-initialized at the *bottom* and level
-    blocks stream in reverse.  With ``reverse``, callers should zero-pad
-    (not edge-pad) any cotangent-seed inputs to a multiple of ``kb`` so the
-    padded sub-surface levels contribute nothing.
+    blocks stream in reverse.  ``reverse`` requires the default rolled path
+    (``unroll == 1``): the unrolled variants edge-pad the level axis, which
+    would accumulate spurious padded-level cotangent-seed contributions
+    into the carry; the rolled path is unpadded (ragged edge block), so
+    seeds pass through exactly.
     """
+    if reverse and unroll > 1:
+        raise ValueError(
+            "reverse=True requires unroll=1: the unrolled layout edge-pads "
+            "level inputs, which would feed padded cotangent seeds into the "
+            "reverse carry"
+        )
     names = tuple(level_inputs)
     col_names = tuple(col_inputs)
     scal_names = tuple(scalar_inputs)

@@ -63,9 +63,17 @@ def forward_step(
     On the Pallas path the saturation diagnostic is fused into the NL
     kernel (one kernel launch, qsat never round-trips through HBM);
     ``diags["qsat"]`` then carries the Saturation component's output.
+
+    A caller-provided ``state["eta"]`` is used as-is; eta is only derived
+    here when missing.  This matters under ``shard_map``: eta is defined
+    from the *global* column 0 (reference ``common/diagnostics.py:28-45``),
+    so a shard-local recompute would silently diverge whenever ``ap/aph_s``
+    varies per column — :func:`make_sharded_forward_step` computes it once
+    globally and passes it in replicated.
     """
     s = dict(state)
-    s["eta"] = eta_levels(s["ap"], s["aph"])
+    if "eta" not in s:
+        s["eta"] = eta_levels(s["ap"], s["aph"])
     if _use_pallas(s, impl):
         from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
@@ -87,7 +95,10 @@ def full_step(
     per-column ``<Mx, Mx>`` and ``<x, M*(Mx)>`` of the symmetry test.
     """
     s = dict(state)
-    s["eta"] = eta_levels(s["ap"], s["aph"])
+    if "eta" not in s:
+        # under jit/GSPMD this reads the global column 0 (correct); only
+        # shard_map callers must pass eta in (see forward_step docstring)
+        s["eta"] = eta_levels(s["ap"], s["aph"])
     s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
     tends_nl, _ = cloudsc2_nl(s, dt, c)
 
@@ -168,4 +179,22 @@ def make_sharded_forward_step(
             check_vma=False,
         )(state)
 
-    return jax.jit(wrapped)
+    jitted = jax.jit(wrapped)
+
+    def call(state):
+        # eta is defined from the GLOBAL column 0 (reference
+        # common/diagnostics.py:28-45) — a shard-local recompute inside
+        # shard_map would silently diverge whenever ap/aph_s varies per
+        # column.  It is also loop-invariant, so derive it once here,
+        # eagerly and replicated, keeping the hot compiled step free of
+        # collectives (columns are independent, SURVEY.md §2.3).
+        if "eta" not in state:
+            state = dict(state)
+            eta = eta_levels(state["ap"], state["aph"])
+            state["eta"] = jax.device_put(
+                eta, jax.sharding.NamedSharding(mesh, P())
+            )
+        return jitted(state)
+
+    call.jitted = jitted  # the hot compiled step, exposed for HLO inspection
+    return call

@@ -112,6 +112,117 @@ def test_component_properties_and_checks(synth, constants):
         nl(bad, dt)
 
 
+def test_units_parse_and_convert():
+    from cloudsc2_tpu.units import UnitsError, convert, parse
+
+    assert parse("Pa") == parse("kg m^-1 s^-2")
+    assert parse("g g^-1") == (1.0, (0, 0, 0, 0))
+    assert parse("kg kg^-1") == (1.0, (0, 0, 0, 0))
+    assert parse("") == (1.0, (0, 0, 0, 0))
+    scale, dims = parse("J m^-2 s^-1")
+    assert dims == (1, 0, -3, 0) and scale == 1.0
+    assert convert(1.0, "hPa", "Pa") == 100.0
+    x = np.full(3, 2.0, np.float32)
+    y = convert(x, "hPa", "Pa")
+    assert y.dtype == np.float32
+    np.testing.assert_array_equal(y, np.full(3, 200.0, np.float32))
+    # dimensionless mass ratios are interchangeable at zero cost
+    assert convert(x, "g g^-1", "kg kg^-1") is x
+    with pytest.raises(UnitsError, match="incompatible"):
+        convert(1.0, "K", "Pa")
+    with pytest.raises(UnitsError, match="unknown unit atom"):
+        parse("furlong")
+
+
+def test_component_unit_validation_and_conversion(synth, constants):
+    """Unit-tagged inputs are converted to the declared property units
+    (reference components strip/convert pint units on every call,
+    SURVEY.md §2.2); incompatible units raise."""
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu.components import Saturation
+    from cloudsc2_tpu.units import UnitArray, UnitsError
+
+    grid, state, dt = synth
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+    sat = Saturation(grid, constants, enable_checks=True)
+    ref = sat(state)["qsat"]
+
+    # hPa-tagged pressure converts to the declared Pa and matches exactly
+    tagged = dict(state)
+    tagged["ap"] = UnitArray(state["ap"] / 100.0, "hPa")
+    out = sat(tagged)["qsat"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)
+
+    # wrong-dimension units raise even without enable_checks
+    bad = dict(state)
+    bad["ap"] = UnitArray(state["ap"], "K")
+    with pytest.raises(UnitsError, match="incompatible"):
+        sat(bad)
+    with pytest.raises(UnitsError):
+        Saturation(grid, constants)(bad)
+
+
+def test_component_dtype_checks(synth, constants):
+    """enable_checks validates dtypes: non-floating or mixed-dtype inputs
+    raise (the reference validates dtype via sympl/GT4Py validate_args)."""
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu.components import Saturation
+
+    grid, state, dt = synth
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+    sat = Saturation(grid, constants, enable_checks=True)
+
+    bad = dict(state)
+    bad["t"] = state["t"].astype(jnp.int64)
+    with pytest.raises(TypeError, match="non-floating"):
+        sat(bad)
+    mixed = dict(state)
+    mixed["t"] = state["t"].astype(jnp.float32)
+    with pytest.raises(TypeError, match="dtype"):
+        sat(mixed)
+    pinned = Saturation(grid, constants, enable_checks=True, dtype=jnp.float32)
+    with pytest.raises(TypeError, match="dtype"):
+        pinned(state)  # f64 state against a pinned f32 component
+    # without checks, mixed dtypes pass through (fast path)
+    Saturation(grid, constants)(mixed)
+
+
+def test_component_timing_syncs_execution(synth, constants, monkeypatch):
+    """The per-component timing labels must measure executed compute, not
+    async dispatch (the reference's exec_info contract,
+    run_nonlinear.py:221-232): the timed wrapper device-syncs its outputs
+    inside the timing block unless sync_timings is disabled."""
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu import components
+    from cloudsc2_tpu.components import Saturation
+    from cloudsc2_tpu.utils import timing as timing_mod
+
+    grid, state, dt = synth
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+
+    synced = []
+    real_sync = timing_mod.device_sync
+    monkeypatch.setattr(
+        timing_mod, "device_sync", lambda t: synced.append(True) or real_sync(t)
+    )
+    Timer.reset()
+    sat = Saturation(grid, constants)
+    out = sat(state)
+    assert synced == [True]
+    assert Timer.get_count("saturation") == 1
+    assert Timer.get_time("saturation", "ms") > 0.0
+    assert np.isfinite(np.asarray(out["qsat"])).all()
+
+    # opt-out: no sync inside the block (for callers timing a larger region)
+    sat.sync_timings = False
+    sat(state)
+    assert synced == [True]
+    Timer.reset()
+
+
 @pytest.mark.parametrize("precision", ["double", "single"])
 def test_run_nonlinear_driver_validates(precision):
     """End-to-end CLI: NL run validates against the oracle golden files."""
@@ -176,6 +287,67 @@ def test_stencils_csv_header_realignment(tmp_path):
     # unknown label: rejected
     with pytest.raises(ValueError, match="not in the existing CSV header"):
         write_stencils_performance_to_csv(path, exec_info={"cloudsc2_ad": 4.0}, **kw)
+
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.mark.parametrize("precision,dtype", [("double", np.float64), ("single", np.float32)])
+def test_read_reference_parses_real_upstream_files(precision, dtype):
+    """The drop-in claim, proven on the actual upstream golden files:
+    ``read_reference`` parses ``data/reference_{double,single}.h5`` exactly
+    as the reference loaders do (``physics/nonlinear/reference.py:28-55``)."""
+    import h5py
+
+    from cloudsc2_tpu import iox
+
+    path = os.path.join(REFERENCE_DATA, f"reference_{precision}.h5")
+    if not os.path.exists(path):
+        pytest.skip("upstream reference data not mounted")
+    with h5py.File(path, "r") as f:
+        tends, diags = iox.read_reference(f, dtype=dtype)
+    assert set(tends) == {"t", "q", "ql", "qi"}
+    assert set(diags) == {"clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"}
+    for name, arr in tends.items():
+        assert arr.shape == (137, 100), name
+        assert arr.dtype == dtype and np.isfinite(arr).all(), name
+    for name, arr in diags.items():
+        want = (138, 100) if name.startswith("f") else (137, 100)
+        assert arr.shape == want, name
+        assert arr.dtype == dtype and np.isfinite(arr).all(), name
+    # non-vacuous: the Fortran outputs are not all-zero
+    assert np.abs(tends["t"]).max() > 0 and np.abs(diags["clc"]).max() > 0
+    # species selection hits the liquid/ice planes of TENDENCY_LOC_CLD
+    with h5py.File(path, "r") as f:
+        cld = f["TENDENCY_LOC_CLD"][...]
+    np.testing.assert_array_equal(tends["ql"], cld[0].astype(dtype))
+    np.testing.assert_array_equal(tends["qi"], cld[1].astype(dtype))
+
+
+def test_load_input_upstream_param_keys(tmp_path):
+    """``load_input`` maps the upstream prefixed namelist keys
+    (``YRECLDP_*``/``YREPHLI_*``, reference ``iox.py:230-238``) and bare
+    thermodynamic-constant keys into the typed parameter groups."""
+    import h5py
+
+    from cloudsc2_tpu import iox
+
+    grid, state, dt = iox.synthesize_input(ncols=4, nlev=9, seed=1)
+    path = str(tmp_path / "input.h5")
+    iox.write_input_h5(path, state, dt)
+    # override a few datasets with sentinel values, exactly as an upstream
+    # file would carry site-specific namelist numbers
+    with h5py.File(path, "a") as f:
+        f["YRECLDP_RCLCRIT"][...] = 4.25e-4
+        f["YREPHLI_LPHYLIN"][...] = 1
+        f["RETV"][...] = 0.123
+        f["LREGCL"][...] = 0
+    _, _, dt2, params = iox.load_input(path)
+    assert dt2 == dt
+    assert params["yrecldp"].RCLCRIT == pytest.approx(4.25e-4)
+    assert params["yrephli"].LPHYLIN is True
+    assert params["yomcst"].RETV == pytest.approx(0.123)
+    assert params["yrncl"].LREGCL is False
 
 
 def test_read_timestep_missing_dataset(tmp_path):

@@ -118,6 +118,39 @@ def test_shard_map_pallas_forward_step(constants):
         )
 
 
+def test_shard_map_eta_from_global_column0(constants):
+    """eta is defined from the GLOBAL column 0 (reference
+    common/diagnostics.py:28-45).  With column-varying ``ap/aph_s`` ratios
+    (e.g. IFS hybrid A+B*ps coordinates) a shard-local eta recompute would
+    silently diverge; the sharded step must match the unsharded one."""
+    from cloudsc2_tpu import iox
+    from cloudsc2_tpu.parallel.step import make_sharded_forward_step
+
+    _, state_np, dt = iox.synthesize_input(ncols=64, nlev=137, seed=3, dtype=np.float32)
+    # break the synthetic workload's column-uniform eta: perturb ap with a
+    # per-column, per-level factor so ap/aph_s genuinely varies by column
+    nlev, ncols = state_np["ap"].shape
+    w = 0.02 * np.sin(np.arange(ncols) + 1.0)[None, :]
+    h = np.linspace(0.0, 1.0, nlev)[:, None]
+    state_np["ap"] = state_np["ap"] * (1.0 + w * h).astype(np.float32)
+    state = {k: jnp.asarray(v, jnp.float32) for k, v in state_np.items()}
+
+    t_ref, d_ref = jax.jit(lambda s: forward_step(s, dt, constants, impl="scan"))(state)
+
+    mesh = column_mesh(8)
+    sharded = shard_state(state, mesh)
+    step = make_sharded_forward_step(mesh, dt=dt, c=constants, impl="scan")
+    t_s, d_s = step(sharded)
+    for n in t_ref:
+        np.testing.assert_allclose(
+            np.asarray(t_s[n]), np.asarray(t_ref[n]), rtol=1e-6, atol=0, err_msg=n
+        )
+    for n in ("clc", "covptot", "fplsl", "fplsn"):
+        np.testing.assert_allclose(
+            np.asarray(d_s[n]), np.asarray(d_ref[n]), rtol=1e-6, atol=0, err_msg=n
+        )
+
+
 def test_forward_step_jit_cache_stable(state_with_qsat, constants):
     """forward_step is a single jittable unit (saturation fused with NL)."""
     _, state, dt = state_with_qsat
@@ -137,9 +170,15 @@ def test_sharded_forward_step_compiles_to_zero_collectives(constants):
 
     _, state_np, dt = iox.synthesize_input(ncols=8 * 128, nlev=16, seed=0, dtype=np.float32)
     state = {k: jnp.asarray(v, jnp.float32) for k, v in state_np.items()}
+    from cloudsc2_tpu.physics.diagnostics import eta_levels
+
     mesh = column_mesh(8)
     sharded = shard_state(state, mesh)
+    # eta (global column 0, loop-invariant) is derived once OUTSIDE the hot
+    # step by make_sharded_forward_step; the compiled step itself must stay
+    # collective-free
+    sharded["eta"] = eta_levels(state["ap"], state["aph"])
     step = make_sharded_forward_step(mesh, dt=dt, c=constants, impl="scan")
-    hlo = step.lower(sharded).compile().as_text()
+    hlo = step.jitted.lower(sharded).compile().as_text()
     for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
         assert coll not in hlo, f"unexpected collective {coll} in sharded forward step"

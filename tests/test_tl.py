@@ -86,6 +86,47 @@ def test_taylor_test_passes(state_with_qsat, constants):
         assert penalty <= 5, f"Taylor {cols} failed with error {penalty}; norms={tt.norms}"
 
 
+def test_taylor_test_pallas_interpret(constants):
+    """The full V-shape protocol on the Pallas kernel path (the driver's
+    ``--impl pallas``), f32 interpret mode.
+
+    The kernel needs lane-aligned columns (8*WB), so column 0 is tiled
+    across the tile width — the column-summed norms then equal the
+    single-column norms (every column identical), matching the reference's
+    single-column default.  f32 documents the V-shape floor: the descent
+    bottoms out at |1-norm| ~ 1e-3-1e-4 (f32 rounding of the NL difference),
+    so the f64 penalty floors (1e-5/1e-6, validation.py:183-217) are
+    legitimately missed; the gates asserted here are the f32-appropriate
+    ones: the V-shape exists, starts within the first four lambdas, and the
+    TL matches the finite difference to ~1e-3 at its bottom.
+    """
+    from cloudsc2_tpu import iox
+    from cloudsc2_tpu.pallas.nonlinear import WB
+    from cloudsc2_tpu.physics.diagnostics import eta_levels
+    from cloudsc2_tpu.validation.taylor import TaylorTest
+
+    _, s, dt = iox.synthesize_input(ncols=100, nlev=137, seed=0, dtype=np.float32)
+    ncols = 8 * WB
+    state = {
+        k: jnp.asarray(np.repeat(v[:, :1], ncols, axis=1) if v.ndim == 2 else v, jnp.float32)
+        for k, v in s.items()
+    }
+    state["eta"] = eta_levels(state["ap"], state["aph"])
+
+    tt = TaylorTest(constants=constants, impl="pallas-interpret")
+    norms = tt.run(state, dt)
+    dev = np.abs(1.0 - norms)
+    # the verdict machinery runs on the kernel path and returns a code
+    penalty = tt.validate(norms, verbose=True)
+    assert isinstance(penalty, int)
+    # V-shape: a lambda in the first four brackets is within 0.5 of 1
+    assert dev[:4].min() < 0.5, norms
+    # f32 floor: the bottom of the V agrees to ~1e-3
+    assert dev.min() < 1e-3, norms
+    # and the bottom is interior (descend then ascend: rounding takes over)
+    assert dev.argmin() not in (0, len(dev) - 1), norms
+
+
 def test_tl_zero_increment_gives_zero(state_with_qsat, constants):
     _, state, dt = state_with_qsat
     s = _tl_state(state, factor=0.0)
