@@ -1,0 +1,189 @@
+"""Scaling-efficiency measurements for the column-sharded forward step.
+
+BASELINE.md's scaling target is >= 95% linear column throughput per added
+chip. Columns are independent and the sharded step compiles to zero
+collectives (tests/test_parallel.py::test_sharded_forward_step_compiles_to_
+zero_collectives), so the only possible losses are (a) partition overhead
+added by shard_map around the kernel and (b) host-side dispatch. This script
+measures both on what is actually available:
+
+* ``--mode cpu`` (any machine): a virtual 8-device CPU mesh. All virtual
+  devices share the same physical cores, so classic weak scaling is
+  meaningless here; what IS meaningful is the *domain-decomposition
+  overhead*: the same total workload run unsharded vs column-sharded over
+  1/2/4/8 virtual devices. Efficiency = t_unsharded / t_sharded(N).
+* ``--mode tpu`` (one real chip): shard_map-wrapped Pallas forward step on a
+  1-device mesh vs the direct kernel call, chain-difference timed (the
+  remote-tunnel-safe protocol of bench.py). Efficiency = t_direct /
+  t_shard_map. Combined with zero collectives and per-device-local compute,
+  this bounds the per-chip loss of running the multi-chip program.
+
+Prints one JSON line per measurement plus a final summary line.
+"""
+import argparse
+import json
+import time
+from functools import partial
+
+
+def _chain_time(step, state, long, short, repeats, sync):
+    """Per-step seconds via the long/short chain difference."""
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(short):
+            out = step(state)
+        sync(out)
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(long):
+            out = step(state)
+        sync(out)
+        tl = time.perf_counter() - t0
+        per = (tl - ts) / (long - short)
+        best = per if best is None else min(best, per)
+    return best
+
+
+def mode_cpu(ncols=32768, nlev=137, long=12, short=2, repeats=3):
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cloudsc2_tpu import iox, make_constants
+    from cloudsc2_tpu.parallel.mesh import column_mesh, shard_state
+    from cloudsc2_tpu.parallel.step import forward_step, make_sharded_forward_step
+    from cloudsc2_tpu.physics.diagnostics import eta_levels
+
+    _, state_np, dt = iox.synthesize_input(ncols=ncols, nlev=nlev, seed=0, dtype=np.float32)
+    c = make_constants(lphylin=True, ldrain1d=False)
+    state = {k: jnp.asarray(v, jnp.float32) for k, v in state_np.items()}
+    state["eta"] = eta_levels(state["ap"], state["aph"])
+
+    def sync(out):
+        jax.block_until_ready(out)
+
+    base_step = jax.jit(lambda s: forward_step(s, dt, c, impl="scan"))
+    sync(base_step(state))
+    t_base = _chain_time(base_step, state, long, short, repeats, sync)
+    print(json.dumps({"mode": "cpu", "config": "unsharded", "ncols": ncols,
+                      "per_step_ms": round(t_base * 1e3, 2),
+                      "cols_per_sec": round(ncols / t_base)}), flush=True)
+
+    effs = {}
+    for ndev in (1, 2, 4, 8):
+        mesh = column_mesh(ndev, n_nodes=1)
+        sharded = shard_state(state, mesh)
+        step = make_sharded_forward_step(mesh, dt=dt, c=c, impl="scan")
+        sync(step(sharded))
+        t = _chain_time(step, sharded, long, short, repeats, sync)
+        effs[ndev] = t_base / t
+        print(json.dumps({"mode": "cpu", "config": f"sharded_{ndev}dev", "ncols": ncols,
+                          "per_step_ms": round(t * 1e3, 2),
+                          "cols_per_sec": round(ncols / t),
+                          "efficiency_vs_unsharded": round(t_base / t, 4)}), flush=True)
+    print(json.dumps({"summary": "cpu_decomposition_efficiency",
+                      **{f"eff_{n}dev": round(e, 4) for n, e in effs.items()}}), flush=True)
+
+
+def mode_tpu(ncols=1 << 16, nlev=137, long=32, short=4, repeats=3):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cloudsc2_tpu import iox, make_constants
+    from cloudsc2_tpu.parallel.mesh import column_mesh, shard_state
+    from cloudsc2_tpu.parallel.step import forward_step, make_sharded_forward_step
+    from cloudsc2_tpu.physics.diagnostics import eta_levels
+
+    synth = 4096
+    _, state_np, dt = iox.synthesize_input(ncols=synth, nlev=nlev, seed=0)
+    c = make_constants(lphylin=True, ldrain1d=False)
+    reps = ncols // synth
+    state = {
+        k: (jnp.tile(jnp.asarray(v, jnp.float32), (1, reps)) if v.ndim == 2
+            else jnp.asarray(v, jnp.float32))
+        for k, v in state_np.items()
+    }
+    state["eta"] = eta_levels(state["ap"], state["aph"])
+
+    def sync(out):
+        # remote tunnel: only a D2H fetch truly synchronizes
+        t = out[0]["t"]
+        jax.block_until_ready(t)
+        float(jnp.sum(t[0]))
+
+    # chain steps must feed back so XLA cannot collapse them
+    @partial(jax.jit, static_argnames=("n",))
+    def chain_direct(s, n):
+        def body(_, s):
+            tends, _ = forward_step(s, dt, c, impl="pallas")
+            s = dict(s)
+            s["t"] = s["t"] + jnp.asarray(1e-30, s["t"].dtype) * tends["t"]
+            return s
+        return jax.lax.fori_loop(0, n, body, dict(s))["t"]
+
+    def sync_arr(x):
+        jax.block_until_ready(x)
+        float(jnp.sum(x[0]))
+
+    def chain_time_direct():
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter(); sync_arr(chain_direct(state, short)); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); sync_arr(chain_direct(state, long)); tl = time.perf_counter() - t0
+            per = (tl - ts) / (long - short)
+            best = per if best is None else min(best, per)
+        return best
+
+    sync_arr(chain_direct(state, short))
+    sync_arr(chain_direct(state, long))
+    t_direct = chain_time_direct()
+    print(json.dumps({"mode": "tpu", "config": "direct_pallas", "ncols": ncols,
+                      "per_step_ms": round(t_direct * 1e3, 3),
+                      "cols_per_sec": round(ncols / t_direct)}), flush=True)
+
+    mesh = column_mesh(1, n_nodes=1)
+    sharded = shard_state(state, mesh)
+    inner = make_sharded_forward_step(mesh, dt=dt, c=c, impl="pallas").jitted
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain_sm(s, n):
+        def body(_, s):
+            tends, _ = inner(s)
+            s = dict(s)
+            s["t"] = s["t"] + jnp.asarray(1e-30, s["t"].dtype) * tends["t"]
+            return s
+        return jax.lax.fori_loop(0, n, body, dict(s))["t"]
+
+    sync_arr(chain_sm(sharded, short))
+    sync_arr(chain_sm(sharded, long))
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter(); sync_arr(chain_sm(sharded, short)); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); sync_arr(chain_sm(sharded, long)); tl = time.perf_counter() - t0
+        per = (tl - ts) / (long - short)
+        best = per if best is None else min(best, per)
+    t_sm = best
+    print(json.dumps({"mode": "tpu", "config": "shard_map_1dev", "ncols": ncols,
+                      "per_step_ms": round(t_sm * 1e3, 3),
+                      "cols_per_sec": round(ncols / t_sm),
+                      "efficiency_vs_direct": round(t_direct / t_sm, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["cpu", "tpu"], default="cpu")
+    args = ap.parse_args()
+    (mode_cpu if args.mode == "cpu" else mode_tpu)()

@@ -99,6 +99,8 @@ class Config:
     reference_file: Optional[str] = None
     jax_config: JaxConfig = dataclasses.field(default_factory=JaxConfig)
     sharded: bool = False
+    #: initialize jax.distributed (multi-host); implies ``sharded``
+    distributed: bool = False
 
     @property
     def dtype(self) -> Any:
@@ -141,6 +143,9 @@ class Config:
 
     def with_sharded(self, s: bool) -> "Config":
         return dataclasses.replace(self, sharded=s)
+
+    def with_distributed(self, d: bool) -> "Config":
+        return dataclasses.replace(self, distributed=d, sharded=self.sharded or d)
 
 
 DEFAULT_CONFIG = Config()

@@ -86,9 +86,21 @@ def state_shardings(state: Dict[str, Any], mesh: Mesh) -> Dict[str, NamedShardin
 
 
 def shard_state(state: Dict[str, Any], mesh: Mesh) -> Dict[str, jax.Array]:
-    """Place a state dict onto the mesh with column sharding."""
+    """Place a state dict onto the mesh with column sharding.
+
+    On a multi-host mesh (non-addressable shardings) every process must
+    hold the same full host array; each then contributes its addressable
+    shards via ``make_array_from_callback``.
+    """
     shardings = state_shardings(state, mesh)
-    return {k: jax.device_put(v, shardings[k]) for k, v in state.items()}
+
+    def put(v: Any, sh: NamedSharding) -> jax.Array:
+        if sh.is_fully_addressable:
+            return jax.device_put(v, sh)
+        arr = np.asarray(v)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    return {k: put(v, shardings[k]) for k, v in state.items()}
 
 
 def pad_columns(
@@ -121,3 +133,28 @@ def pad_columns(
 def unpad_columns(fields: Dict[str, Any], ncols: int) -> Dict[str, Any]:
     """Strip column padding from output field dicts."""
     return {k: (v[..., :ncols] if np.ndim(v) == 2 else v) for k, v in fields.items()}
+
+
+def process_local_block(arr: jax.Array) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """This process's contiguous column block of a column-sharded global
+    array, as ``(block, (col_start, col_stop))``.
+
+    Multi-host arrays are not fully addressable, so per-process validation
+    and D2H must go through the addressable shards.  The column factoring of
+    :func:`column_mesh` assigns each process one contiguous column range
+    (node-major device order); this is asserted, not assumed.
+    """
+    ncols = arr.shape[-1]
+
+    def _start(s):
+        return s.index[-1].start or 0
+
+    shards = sorted(arr.addressable_shards, key=_start)
+    stop = None
+    for s in shards:
+        start = _start(s)
+        if stop is not None and start != stop:
+            raise ValueError(f"non-contiguous local column shards at {start} != {stop}")
+        stop = s.index[-1].stop if s.index[-1].stop is not None else ncols
+    block = np.concatenate([np.asarray(s.data) for s in shards], axis=-1)
+    return block, (_start(shards[0]), stop)

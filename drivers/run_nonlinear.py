@@ -34,7 +34,14 @@ def core(config, io_config, impl="auto"):
 
     from cloudsc2_tpu import iox, make_constants
     from cloudsc2_tpu.components import Cloudsc2NL, EtaLevels, Saturation
-    from cloudsc2_tpu.parallel.mesh import column_mesh, pad_columns, shard_state, unpad_columns
+    from cloudsc2_tpu.parallel.mesh import (
+        column_mesh,
+        initialize_distributed,
+        pad_columns,
+        process_local_block,
+        shard_state,
+        unpad_columns,
+    )
     from cloudsc2_tpu.utils.output import (
         print_performance,
         write_performance_to_csv,
@@ -43,8 +50,13 @@ def core(config, io_config, impl="auto"):
     from cloudsc2_tpu.utils.timing import Timer, timing
     from cloudsc2_tpu.utils.validation import validate
 
+    if config.distributed:
+        # must run before anything initializes the local XLA backend
+        initialize_distributed(**getattr(config, "_dist_kwargs", {}))
     config.jax_config.apply()
     dtype = config.dtype
+    multiproc = jax.process_count() > 1
+    is_lead = jax.process_index() == 0
 
     # --- input state (reference run_nonlinear.py:54-74) ---
     # like the reference, prefer reading the input file and tiling columns
@@ -68,17 +80,20 @@ def core(config, io_config, impl="auto"):
 
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     ncols = grid.ncols
-    if config.sharded:
-        mesh = column_mesh()
-        state, _ = pad_columns(state, 128 * mesh.devices.size)
-        state = shard_state(state, mesh)
 
     # --- components (reference run_nonlinear.py:76-108) ---
     eta_levels = EtaLevels(grid, c, enable_checks=config.enable_checks)
     saturation = Saturation(grid, c, kflag=1, lphylin=True, enable_checks=config.enable_checks)
     cloudsc2_nl = Cloudsc2NL(grid, c, impl=impl, enable_checks=config.enable_checks)
 
+    # eta (global column 0, loop-invariant) is diagnosed BEFORE sharding:
+    # on a multi-host mesh the global array is not addressable for eager
+    # indexing, and deriving it per shard would be wrong anyway
     state.update(eta_levels(state))
+    if config.sharded:
+        mesh = column_mesh()
+        state, _ = pad_columns(state, 128 * mesh.devices.size)
+        state = shard_state(state, mesh)
 
     if config.sharded:
         # GSPMD cannot partition a pallas_call: the sharded hot loop runs
@@ -99,8 +114,14 @@ def core(config, io_config, impl="auto"):
             return cloudsc2_nl(s, dt)
 
     def sync(out):
-        # force execution + D2H of one scalar (see module docstring)
-        float(jnp.sum(out[0]["t"][0]))
+        # force execution + D2H of one scalar (see module docstring);
+        # multi-host arrays are not fully addressable — fetch a local shard
+        t = out[0]["t"]
+        if getattr(t, "sharding", None) is not None and not t.sharding.is_fully_addressable:
+            jax.block_until_ready(t)
+            np.asarray(t.addressable_shards[0].data)
+        else:
+            float(jnp.sum(t[0]))
 
     # warm-up (reference :109)
     tends, diags = run_once(state)
@@ -121,9 +142,10 @@ def core(config, io_config, impl="auto"):
         jax.profiler.stop_trace()
         print(f"Profiler trace written to {profile_dir}")
 
-    # performance report (reference :121-137)
+    # performance report (reference :121-137); CSVs are written by the lead
+    # process only (multi-host runs share the filesystem)
     stats = print_performance(ncols, runtimes, nlev=grid.nlev)
-    if io_config.output_csv_file:
+    if is_lead and io_config.output_csv_file:
         write_performance_to_csv(
             io_config.output_csv_file,
             host_name=io_config.host_name,
@@ -137,7 +159,7 @@ def core(config, io_config, impl="auto"):
             mflops_mean=stats[2],
             mflops_stddev=stats[3],
         )
-    if io_config.output_csv_file_stencils:
+    if is_lead and io_config.output_csv_file_stencils:
         write_stencils_performance_to_csv(
             io_config.output_csv_file_stencils,
             host_name=io_config.host_name,
@@ -150,15 +172,37 @@ def core(config, io_config, impl="auto"):
             key_patterns=("cloudsc", "saturation", "increment", "perturbed", "eta"),
         )
 
-    # validation vs golden file (reference :139-147)
+    # validation vs golden file (reference :139-147).  Multi-host arrays are
+    # not fully addressable: each process validates its own contiguous
+    # column block against the matching golden columns.
     if config.enable_validation and config.reference_file:
-        tends_np = {k: np.asarray(v) for k, v in tends.items()}
-        diags_np = {k: np.asarray(v) for k, v in diags.items()}
-        if config.sharded:
-            tends_np = unpad_columns(tends_np, ncols)
-            diags_np = unpad_columns(diags_np, ncols)
+        col0, col1 = 0, ncols
+        if multiproc:
+            def localize(d):
+                out = {}
+                lo = hi = None
+                for k, v in d.items():
+                    blk, (c0, c1) = process_local_block(v)
+                    c1 = min(c1, ncols)  # trailing pad columns carry no data
+                    out[k] = blk[:, : max(c1 - c0, 0)]
+                    lo, hi = c0, c1
+                return out, lo, hi
+            tends_np, col0, col1 = localize(tends)
+            diags_np, _, _ = localize(diags)
+            if col1 <= col0:
+                print("Validation skipped: this process holds only pad columns.")
+                return 0
+        else:
+            tends_np = {k: np.asarray(v) for k, v in tends.items()}
+            diags_np = {k: np.asarray(v) for k, v in diags.items()}
+            if config.sharded:
+                tends_np = unpad_columns(tends_np, ncols)
+                diags_np = unpad_columns(diags_np, ncols)
         with h5py.File(config.reference_file, "r") as f:
             tends_ref, diags_ref = iox.read_reference(f, ncols=ncols, dtype=dtype)
+        cols = slice(col0, col1)
+        tends_ref = {k: v[:, cols] for k, v in tends_ref.items()}
+        diags_ref = {k: v[:, cols] for k, v in diags_ref.items()}
         atol, rtol = config_tolerances(config)
         failing = validate(tends_np, tends_ref, atol=atol, rtol=rtol)
         failing += validate(diags_np, diags_ref, atol=atol, rtol=rtol)
@@ -208,6 +252,13 @@ def config_tolerances(config):
 @click.option("--atol", type=float, default=None)
 @click.option("--rtol", type=float, default=None)
 @click.option("--sharded/--no-sharded", default=False, help="column-shard over all devices")
+@click.option("--distributed/--no-distributed", default=False,
+              help="initialize jax.distributed (multi-host); implies --sharded. "
+              "Coordinator auto-detects on TPU pods / from JAX_COORDINATOR_ADDRESS, "
+              "or pass --coordinator/--process-id/--num-processes explicitly")
+@click.option("--coordinator", type=str, default=None, help="coordinator address host:port")
+@click.option("--process-id", type=int, default=None)
+@click.option("--num-processes", type=int, default=None)
 @click.option("--output-csv-file", type=str, default=None)
 @click.option("--output-csv-file-stencils", type=str, default=None)
 @click.option("--profile-dir", type=str, default=None, help="write a jax.profiler trace")
@@ -217,7 +268,8 @@ def config_tolerances(config):
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
-    input_file, reference_file, atol, rtol, sharded, output_csv_file,
+    input_file, reference_file, atol, rtol, sharded, distributed, coordinator,
+    process_id, num_processes, output_csv_file,
     output_csv_file_stencils, profile_dir, impl, host_alias,
 ):
     config = (
@@ -229,7 +281,16 @@ def main(
         .with_num_runs(num_runs)
         .with_input_file(input_file)
         .with_sharded(sharded)
+        .with_distributed(distributed)
     )
+    dist_kwargs = {}
+    if coordinator is not None:
+        dist_kwargs["coordinator_address"] = coordinator
+    if process_id is not None:
+        dist_kwargs["process_id"] = process_id
+    if num_processes is not None:
+        dist_kwargs["num_processes"] = num_processes
+    object.__setattr__(config, "_dist_kwargs", dist_kwargs)
     if reference_file is None and input_file is None and enable_validation:
         import os
 
