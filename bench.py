@@ -1,22 +1,25 @@
 
 # Copyright 2026.
 # Licensed under the Apache License, Version 2.0.
-"""Headline benchmark: NL scheme throughput (columns/sec) on one chip.
+"""Headline benchmark: NL/TL/AD throughput (columns/sec) on one chip.
 
 Protocol follows the reference driver (``drivers/run_nonlinear.py:109-119``:
 warm-up, then timed iterations), adapted to a remote-attached TPU where
 host<->device roundtrips cost seconds: the timed unit is a *chain* of
-physics steps inside a single jitted ``lax.fori_loop`` (each step feeds the
-updated prognostic state back in, so steps cannot be collapsed), and the
+physics steps inside a single jitted ``lax.fori_loop`` (each step feeds an
+output of EVERY kernel being timed back into the next step's state, so XLA
+can neither collapse the chain nor dead-code-eliminate a kernel), and the
 per-step time is the difference between a long and a short chain — host
 latency and dispatch overhead cancel exactly.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 reports the fraction of HBM speed-of-light throughput on the attached chip
-— the roofline metric named in BASELINE.json.  The scheme is memory-bound,
-so HBM bytes/column sets the ceiling.
+for the headline NL forward step — the roofline metric named in
+BASELINE.json.  BASELINE.json names "columns/sec/chip for NL/TL/AD" as the
+metric, so the JSON line also carries ``tl_columns_per_sec`` /
+``ad_columns_per_sec`` measured with the same chain protocol.
 
-Prints exactly one JSON line.
+Prints exactly ONE JSON line.
 """
 from __future__ import annotations
 
@@ -36,12 +39,14 @@ import numpy as np
 
 from cloudsc2_tpu import iox, make_constants
 from cloudsc2_tpu.parallel.step import forward_step
+from cloudsc2_tpu.physics.diagnostics import eta_levels
+from cloudsc2_tpu.physics.increment import state_increment
+from cloudsc2_tpu.physics.saturation import saturation
+from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
 
 NCOLS = 1 << 16  # 65,536 columns
 NLEV = 137
 SYNTH_COLS = 4096  # host-side synthesis size; tiled to NCOLS on device
-CHAIN_LONG = 64
-CHAIN_SHORT = 8
 REPEATS = 3
 DTYPE = jnp.float32
 
@@ -66,7 +71,7 @@ def device_bandwidth() -> float:
 
 
 def bytes_per_column(nlev: int, itemsize: int) -> int:
-    """Minimum HBM traffic per column per step: 14 full-level inputs + 1
+    """Minimum HBM traffic per column per NL step: 14 full-level inputs + 1
     interface input, 6 full-level + 4 interface outputs (qsat/eta fused)."""
     full_in, iface_in, full_out, iface_out = 14, 1, 6, 4
     return itemsize * (
@@ -74,9 +79,32 @@ def bytes_per_column(nlev: int, itemsize: int) -> int:
     )
 
 
+def fetch(x) -> float:
+    """Force execution + D2H of one scalar (block_until_ready alone does not
+    synchronize through the remote-TPU tunnel)."""
+    return float(jnp.sum(x[0]))
+
+
+def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
+    """Per-step seconds from the long/short chain difference (min over
+    repeats — robust to tunnel hiccups)."""
+    fetch(chain(state, short_n, dt, c))
+    fetch(chain(state, long_n, dt, c))
+    per = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        fetch(chain(state, short_n, dt, c))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fetch(chain(state, long_n, dt, c))
+        t_long = time.perf_counter() - t0
+        per.append((t_long - t_short) / (long_n - short_n))
+    return float(np.min(per))
+
+
 @partial(jax.jit, static_argnames=("n", "dt", "c"))
-def chain(state, n, dt, c):
-    """n physics steps, each consuming the previous step's updated state."""
+def chain_nl(state, n, dt, c):
+    """n fused forward steps (saturation + NL), state fed back."""
 
     def body(_, s):
         tends, diags = forward_step(s, dt, c)
@@ -84,18 +112,47 @@ def chain(state, n, dt, c):
         # minimal data dependence between steps (physically negligible, but
         # prevents XLA from collapsing the chain); the timed unit stays the
         # reference's saturation + NL on an unchanged state
-        # (run_nonlinear.py:115-119)
-        s["t"] = s["t"] + jnp.asarray(1e-30, s["t"].dtype) * tends["t"]
+        eps = jnp.asarray(1e-30, s["t"].dtype)
+        s["t"] = s["t"] + eps * tends["t"]
         return s
 
     s = jax.lax.fori_loop(0, n, body, dict(state))
     return s["t"]
 
 
-def fetch(x) -> float:
-    """Force execution + D2H of one scalar (block_until_ready alone does not
-    synchronize through the remote-TPU tunnel)."""
-    return float(jnp.sum(x[0]))
+@partial(jax.jit, static_argnames=("n", "dt", "c"))
+def chain_tl(state, n, dt, c):
+    """n tangent-linear steps; consumes forward AND tangent outputs."""
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+    def body(_, s):
+        tends, diags = cloudsc2_tl_pallas(s, dt, c)
+        s = dict(s)
+        eps = jnp.asarray(1e-30, s["t"].dtype)
+        s["t"] = s["t"] + eps * tends["t"]
+        s["t_i"] = s["t_i"] + eps * tends["t_i"]
+        return s
+
+    s = jax.lax.fori_loop(0, n, body, dict(state))
+    return s["t"] + s["t_i"]
+
+
+@partial(jax.jit, static_argnames=("n", "dt", "c"))
+def chain_ad(state, n, dt, c):
+    """n adjoint steps (forward trajectory + reverse transpose); consumes a
+    forward tendency AND a reverse-sweep cotangent so neither kernel can be
+    dead-code-eliminated."""
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+
+    def body(_, s):
+        tends, diags = cloudsc2_ad_pallas(s, dt, c)
+        s = dict(s)
+        eps = jnp.asarray(1e-30, s["t"].dtype)
+        s["t"] = s["t"] + eps * tends["t"] + eps * diags["t_i"]
+        return s
+
+    s = jax.lax.fori_loop(0, n, body, dict(state))
+    return s["t"]
 
 
 def main() -> None:
@@ -111,30 +168,41 @@ def main() -> None:
         for k, v in state_np.items()
     }
 
-    # warm-up / compile both chain lengths
-    fetch(chain(state, CHAIN_SHORT, dt, c))
-    fetch(chain(state, CHAIN_LONG, dt, c))
+    # --- NL: the headline fused forward step (saturation + NL) ---
+    t_nl = chain_seconds(chain_nl, state, dt, c, 64, 8)
+    nl_cols = NCOLS / t_nl
 
-    per_step = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        fetch(chain(state, CHAIN_SHORT, dt, c))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fetch(chain(state, CHAIN_LONG, dt, c))
-        t_long = time.perf_counter() - t0
-        per_step.append((t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT))
-    runtime = float(np.min(per_step))  # min is robust to tunnel hiccups
-    cols_per_sec = NCOLS / runtime
+    # --- TL/AD states: eta + qsat + increments (+ AD seeds from one TL run),
+    # mirroring the symmetry-test pipeline (validation/symmetry.py) ---
+    s = dict(state)
+    s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    t_tl = chain_seconds(chain_tl, s, dt, c, 32, 4)
+    tl_cols = NCOLS / t_tl
+
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+    tends_tl, diags_tl = cloudsc2_tl_pallas(s, dt, c)
+    s_ad = dict(s)
+    for name in TEND_NAMES:
+        s_ad["tnd_" + name] = tends_tl[name]
+        s_ad["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s_ad[name + "_i"] = diags_tl[name + "_i"]
+    t_ad = chain_seconds(chain_ad, s_ad, dt, c, 32, 4)
+    ad_cols = NCOLS / t_ad
 
     sol = device_bandwidth() / bytes_per_column(NLEV, np.dtype(DTYPE.__name__).itemsize)
     print(
         json.dumps(
             {
                 "metric": "nl_columns_per_sec",
-                "value": cols_per_sec,
+                "value": nl_cols,
                 "unit": "columns/s",
-                "vs_baseline": cols_per_sec / sol,
+                "vs_baseline": nl_cols / sol,
+                "tl_columns_per_sec": tl_cols,
+                "ad_columns_per_sec": ad_cols,
             }
         )
     )

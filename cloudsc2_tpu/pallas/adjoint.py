@@ -103,9 +103,13 @@ def cloudsc2_ad_pallas(
     # kb/wb are forwarded so tuning the adjoint tunes both sweeps and the
     # column-tile requirement is ncols % (8*wb) for the whole kernel pair
     # (the NL default wb=512 would otherwise silently demand ncols % 4096
-    # even when the reverse kernel's wb allows less)
+    # even when the reverse kernel's wb allows less).  When the shape also
+    # satisfies the NL kernel's own optimum tile (wb=512, measured best on
+    # v5e), prefer it for the forward sweep — tile size is a per-kernel
+    # tuning knob, not part of the numerics.
+    fwd_wb = 512 if (wb < 512 and ncols % (8 * 512) == 0) else wb
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
-        state, dt, c, interpret=interpret, with_trajectory=True, kb=kb, wb=wb
+        state, dt, c, interpret=interpret, with_trajectory=True, kb=kb, wb=fwd_wb
     )
 
     # ---- reverse-kernel inputs ----
@@ -158,6 +162,7 @@ def cloudsc2_ad_pallas(
         xfwd["scalm"] = x["scalm"]
         xfwd["crh_rh2"] = col["crh_rh2"]
         xfwd["crh_deta1"] = col["crh_deta1"]
+        xfwd["crh_rsq"] = col["crh_rsq"]
 
         def lin(ci, xi):
             carry = TLCarry(x["c_rfl"], x["c_sfl"], x["c_cov"], *ci)
@@ -180,7 +185,7 @@ def cloudsc2_ad_pallas(
         body,
         level_inputs=level_inputs,
         col_inputs=dict(
-            zip(("crh_rh2", "crh_deta1"), critical_rh_coeffs(trpaus)),
+            zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
             trpaus=trpaus,
             aph_s=state["aph"][-1],
         ),

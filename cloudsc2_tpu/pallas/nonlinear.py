@@ -114,10 +114,16 @@ def cloudsc2_nl_pallas(
 
     def body(carry, x, col, _g):
         carry_in = carry
-        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"])
+        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+                 crh_rsq=col["crh_rsq"])
         if fuse_saturation:
             from cloudsc2_tpu.physics.saturation import saturation
 
+            # NOTE: measured-negative optimization (v5e): sharing 1/ap
+            # between this call (rap=...) and nl_level gains nothing (the
+            # kernel is not divide-bound) and makes the fused path diverge
+            # from the unfused one by an amplified ulp near cloud-regime
+            # boundaries — keep the saturation division bit-identical.
             x["qsat"] = saturation(
                 x["ap"], x["t"], kflag=kflag, lphylin=c.LPHYLIN, c=c
             )
@@ -144,7 +150,7 @@ def cloudsc2_nl_pallas(
         body,
         level_inputs=level_inputs,
         col_inputs=dict(
-            zip(("crh_rh2", "crh_deta1"), critical_rh_coeffs(trpaus)),
+            zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
             trpaus=trpaus,
             aph_s=state["aph"][-1],
         ),

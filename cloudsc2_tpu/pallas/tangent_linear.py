@@ -99,7 +99,8 @@ def cloudsc2_tl_pallas(
     }
 
     def body(carry, x, col, _g):
-        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"])
+        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+                 crh_rsq=col["crh_rsq"])
         carry, outs = tl_level(
             TLCarry(*carry), x, col["aph_s"], col["aph_s_i"], col["trpaus"], dt, c
         )
@@ -109,7 +110,7 @@ def cloudsc2_tl_pallas(
         body,
         level_inputs=level_inputs,
         col_inputs=dict(
-            zip(("crh_rh2", "crh_deta1"), critical_rh_coeffs(trpaus)),
+            zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
             trpaus=trpaus,
             aph_s=state["aph"][-1],
             aph_s_i=state["aph_i"][-1],

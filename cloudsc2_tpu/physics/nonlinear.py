@@ -77,34 +77,37 @@ def scalm_profile(eta: Array, c: Constants) -> Array:
     return jnp.asarray(c.ZSCAL, eta.dtype) * jnp.maximum(eta - 0.2, c.ZEPS1) ** 0.2
 
 
-def critical_rh_coeffs(trpaus: Array) -> Tuple[Array, Array]:
+def critical_rh_coeffs(trpaus: Array) -> Tuple[Array, Array, Array]:
     """Per-column coefficients of the critical-RH profile — a pure function
     of the tropopause eta, hoisted out of the level loop (the reference
-    recomputes them at every level, ``cloudsc2.py:168-171``)."""
+    recomputes them at every level, ``cloudsc2.py:168-171``).  The third
+    coefficient is ``rsqrt(deta1)``, hoisting the boundary-layer branch's
+    per-level divide+sqrt (``sqrt((1-eta)/deta1)`` factors into
+    ``sqrt(1-eta) * rsqrt(deta1)``; ``eta <= 1`` always)."""
     rh2 = (
         0.35
         + 0.14 * ((trpaus - 0.25) / 0.15) ** 2.0
         + 0.04 * jnp.minimum(trpaus - 0.25, 0.0) / 0.15
     )
     deta1 = 0.09 + 0.16 * (0.4 - trpaus) / 0.3
-    return rh2, deta1
+    return rh2, deta1, jax.lax.rsqrt(deta1)
 
 
 def critical_rh(
-    eta_k: Array, trpaus: Array, coeffs: Tuple[Array, Array] | None = None
+    eta_k: Array, trpaus: Array, coeffs: Tuple[Array, ...] | None = None
 ) -> Array:
     """Critical relative-humidity profile (reference ``cloudsc2.py:166-186``)."""
-    rh2, deta1 = critical_rh_coeffs(trpaus) if coeffs is None else coeffs
+    rh2, deta1, rsq_deta1 = critical_rh_coeffs(trpaus) if coeffs is None else coeffs
     rh1 = 1.0
     rh3 = 1.0
-    deta2 = 0.3
-    sq = jnp.sqrt(jnp.maximum((1.0 - eta_k) / deta1, 0.0))
+    rdeta2 = 1.0 / 0.3  # deta2 = 0.3, static
+    sq = jnp.sqrt(jnp.maximum(1.0 - eta_k, 0.0)) * rsq_deta1
     return jnp.where(
         eta_k < trpaus,
         rh3,
         jnp.where(
-            eta_k < trpaus + deta2,
-            rh3 + (rh2 - rh3) * (eta_k - trpaus) / deta2,
+            eta_k < trpaus + 0.3,
+            rh3 + (rh2 - rh3) * ((eta_k - trpaus) * rdeta2),
             jnp.where(eta_k < 1.0 - deta1, rh2, rh1 + (rh2 - rh1) * sq),
         ),
     )
@@ -129,7 +132,9 @@ def nl_level(
     """
     rfl, sfl, covptot = carry
     ap = x["ap"]
-    rap = 1.0 / ap
+    # the fused Pallas path precomputes 1/ap once and shares it with the
+    # in-kernel saturation diagnostic
+    rap = x["rap"] if "rap" in x else 1.0 / ap
     qsat_in = x["qsat"]
     aux: Dict[str, Array] = {}
 
@@ -158,13 +163,18 @@ def nl_level(
     lvdcp = c.RLVTT * rzz
     aux.update(dp=dp, zz=zz, lfdcp=lfdcp, lsdcp=lsdcp, lvdcp=lvdcp)
 
-    # dqs/dT correction factor (reference :140-160); LPHYLIN/LDRAIN1D static
+    # dqs/dT correction factor (reference :140-160); LPHYLIN/LDRAIN1D static.
+    # One reciprocal each of (t - R4LES) and (t - R4IES) serves the
+    # saturation-pressure exponent argument AND the two dqs/dT factors
+    # (facw = R5LES/(t-R4LES)^2 = R5LES*rl*rl), replacing three divides.
+    rl = 1.0 / (t - c.R4LES)
+    ri = 1.0 / (t - c.R4IES)
     if c.LPHYLIN or c.LDRAIN1D:
         cold = t < c.RTT
         fwat = jnp.where(cold, 0.545 * (jnp.tanh(0.17 * (t - c.RLPTRC)) + 1.0), 1.0)
         z3es = jnp.where(cold, c.R3IES, c.R3LES)
-        z4es = jnp.where(cold, c.R4IES, c.R4LES)
-        foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) / (t - z4es))
+        rz4es = jnp.where(cold, ri, rl)
+        foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) * rz4es)
         esdp1 = foeew * rap
         esdp = jnp.minimum(esdp1, c.ZQMAX)
     else:
@@ -172,10 +182,21 @@ def nl_level(
         foeew = fcttre.foeewm(t, c)
         esdp1 = foeew * rap
         esdp = esdp1
-    facw = c.R5LES / (t - c.R4LES) ** 2.0
-    faci = c.R5IES / (t - c.R4IES) ** 2.0
+    facw = c.R5LES * rl * rl
+    faci = c.R5IES * ri * ri
     fac = fwat * facw + (1.0 - fwat) * faci
-    cor = 1.0 / (1.0 - c.RETV * esdp)
+    # cor = 1/(1 - RETV*esdp): in the unclipped regime this equals
+    # ap * fac2 with fac2 = 1/(ap - RETV*foeew) — the reciprocal the
+    # subsidence section needs anyway (reference :219) — so the clip case
+    # reduces to a compile-time constant and one divide disappears
+    fac2 = 1.0 / (ap - c.RETV * foeew)
+    cor_unclipped = ap * fac2
+    if c.LPHYLIN or c.LDRAIN1D:
+        cor = jnp.where(
+            esdp1 <= c.ZQMAX, cor_unclipped, 1.0 / (1.0 - c.RETV * c.ZQMAX)
+        )
+    else:
+        cor = cor_unclipped
     dqsdtemp = fac * cor * qsat_in
     corqs = 1.0 + cons3 * dqsdtemp
     aux.update(
@@ -191,7 +212,7 @@ def nl_level(
     # per-column coefficients may arrive precomputed (Pallas path hoists
     # them out of the level loop via the kernel's col inputs)
     coeffs = (
-        (x["crh_rh2"], x["crh_deta1"]) if "crh_rh2" in x else None
+        (x["crh_rh2"], x["crh_deta1"], x["crh_rsq"]) if "crh_rh2" in x else None
     )
     crh2 = critical_rh(x["eta"], trpaus, coeffs)
     supsat_fac = jnp.where(t < c.RTICE, 1.8 - 0.003 * t, 1.0)
@@ -231,10 +252,9 @@ def nl_level(
     aux.update(gdp=gdp, lude=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
 
     # compensating subsidence (reference :217-224); fac4 = 1/rho = RD*t/ap
-    # computed without a third divide
+    # computed without a third divide; fac2 was already formed for cor above
     fac1 = 1.0 / (c.RD * t)
     rho = ap * fac1
-    fac2 = 1.0 / (ap - c.RETV * foeew)
     rodqsdp = -rho * qsat_in * fac2
     ldcp = fwat * lvdcp + (1.0 - fwat) * lsdcp
     fac3 = 1.0 / (1.0 + ldcp * dqsdtemp)
@@ -265,14 +285,17 @@ def nl_level(
     covpclr = jnp.maximum(covpclr1, 0.0)
     aux.update(covptot_in=covptot_in, covptot1=covptot, covpclr1=covpclr1, covpclr=covpclr)
 
-    # melting of incoming snow (reference :237-246)
+    # melting of incoming snow (reference :237-246).  Both divides fold into
+    # multiplies: cons = cons2*dp/lfdcp = (cons2/RLMLT)*dp*zz (lfdcp is
+    # RLMLT/zz), and 1/cons = dt*gdp*lfdcp (cons2 = 1/(RG*dt), gdp = RG/dp)
     melt = sfl != 0.0
-    cons = cons2 * dp / lfdcp
+    cons = (cons2 / c.RLMLT) * dp * zz
+    rcons = dt * gdp * lfdcp
     z2s = cons * jnp.maximum(t - meltp2, 0.0)
     snmlt = jnp.minimum(sfl, z2s)
     rfln = jnp.where(melt, rfl + snmlt, rfl)
     sfln = jnp.where(melt, sfl - snmlt, sfl)
-    t = jnp.where(melt, t - snmlt / cons, t)
+    t = jnp.where(melt, t - snmlt * rcons, t)
     aux.update(melt=melt, cons=cons, z2s=z2s, snmlt=snmlt, t_melt=t)
 
     # rain / snow autoconversion (reference :248-272)
@@ -283,17 +306,20 @@ def nl_level(
     else:
         lcrit = 2.0 * c.RCLCRIT
         icrit = 2.0 * c.RCLCRIT
+    # one reciprocal of the cloud fraction serves both species, and the
+    # static crit thresholds divide at compile time
     clc_safe = jnp.where(act, clc, 1.0)
-    cldl = qlwc / clc_safe
-    ltmp1 = jnp.exp(-((cldl / lcrit) ** 2.0))
+    rclc = 1.0 / clc_safe
+    cldl = qlwc * rclc
+    ltmp1 = jnp.exp(-(cldl * cldl * (1.0 / (lcrit * lcrit))))
     dl = ckcodtl * (1.0 - ltmp1)
     ltmp2 = jnp.exp(-dl)
     qlnew = clc * cldl * ltmp2
     prr = jnp.where(act, qlwc - qlnew, 0.0)
     qlwc = qlwc - prr
 
-    cldi = qiwc / clc_safe
-    itmp11 = jnp.exp(-((cldi / icrit) ** 2.0))
+    cldi = qiwc * rclc
+    itmp11 = jnp.exp(-(cldi * cldi * (1.0 / (icrit * icrit))))
     itmp12 = jnp.exp(0.025 * (t - c.RTT))
     di = ckcodti * itmp12 * (1.0 - itmp11)
     itmp2 = jnp.exp(-di)

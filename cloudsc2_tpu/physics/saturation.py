@@ -28,6 +28,7 @@ def saturation(
     kflag: int = 1,
     lphylin: bool = True,
     c: Constants,
+    rap: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Diagnose ``qsat`` from pressure ``ap`` and temperature ``t``.
 
@@ -35,13 +36,23 @@ def saturation(
     saturation pressure blends liquid/ice with the ``foealfa`` weight and the
     ratio is clipped at ``QMAX``; otherwise ``foeewm``/``foeewmcu`` is chosen
     by ``KFLAG``.  ``QMAX = ZQMAX = 0.5`` (component ``saturation.py:53``).
+
+    ``rap`` optionally supplies a precomputed ``1/ap`` so the fused Pallas
+    path (saturation inside the NL kernel) shares the reciprocal the NL
+    level body needs anyway.
+
+    Note the two esat exponentials here cannot be reused for the NL body's
+    ``foeew``: saturation is evaluated at the state temperature while the
+    scheme re-evaluates at the first-guess ``t + dt*tnd_cml_t``
+    (reference ``cloudsc2.py:102-104, 140-160``).
     """
     qmax = c.ZQMAX
     if lphylin:
         alfa = fcttre.foealfa(t, c)
-        foeew = alfa * fcttre.foeew_liquid(t, c) + (1.0 - alfa) * fcttre.foeew_ice(t, c)
-        qs = jnp.minimum(foeew / ap, qmax)
+        ew = alfa * fcttre.foeew_liquid(t, c) + (1.0 - alfa) * fcttre.foeew_ice(t, c)
     else:
         ew = fcttre.foeewmcu(t, c) if kflag == 1 else fcttre.foeewm(t, c)
-        qs = jnp.minimum(ew / ap, qmax)
+    # default path divides (bit-identical to the scalar oracle); the fused
+    # kernel passes rap and trades the divide for a multiply (~1 ulp)
+    qs = jnp.minimum(ew / ap if rap is None else ew * rap, qmax)
     return qs / (1.0 - c.RETV * qs)

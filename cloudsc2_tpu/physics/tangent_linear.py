@@ -134,7 +134,9 @@ def tl_level(
     qlim_i = jnp.where(overs, qsat_in_i, q_i)
 
     # critical humidity and ice supersaturation (reference :232-265)
-    coeffs = (x["crh_rh2"], x["crh_deta1"]) if "crh_rh2" in x else None
+    coeffs = (
+        (x["crh_rh2"], x["crh_deta1"], x["crh_rsq"]) if "crh_rh2" in x else None
+    )
     crh2 = critical_rh(x["eta"], trpaus, coeffs)
     cold_ice = t < c.RTICE
     supsat_fac = jnp.where(cold_ice, 1.8 - 0.003 * t, 1.0)
