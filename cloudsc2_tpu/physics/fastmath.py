@@ -1,0 +1,61 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Faithful fast f32 exponential for the TPU kernels.
+
+The CLOUDSC2 level body is VPU-op-bound with ~11 exponentials per
+level-column (saturation pair, dqs/dT, detrainment, 5 autoconversion, 2
+cuadjtqs iterations) — the largest single op-budget item.  ``fast_exp``
+evaluates exp(x) for float32 as ``2^k * exp(r)`` with a Cody-Waite range
+reduction (k = rint(x*log2e), r = x - k*ln2 split in two constants so the
+reduction is exact in f32) and a degree-7 Taylor polynomial on
+|r| <= ln2/2, then scales by 2^k through exponent-bit assembly.  Maximum
+relative error ~2-3 f32 ulps over the scheme's argument range (verified in
+``tests/test_nonlinear.py::test_fast_exp_faithful``), i.e. indistinguishable
+from the platform exp at the f32 validation gates.
+
+Cost: ~15 single-pass VPU ops (mul, rint, 2 FMA reduction, 7 FMA poly,
+int convert/add/shift, bitcast, mul) — profitable only if the platform's
+exp lowering is longer; see ``benchmarks/microbench_ops.py`` for the
+measured per-op costs that gate its use.
+
+float64 inputs fall through to ``jnp.exp`` (the f64 oracle path must stay
+on the platform exp).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+LOG2E = 1.4426950408889634
+# Cody-Waite split of ln2: hi has its low mantissa bits zeroed so k*LN2_HI
+# is exact for |k| < 2^15; lo carries the remainder
+LN2_HI = 0.693359375
+LN2_LO = -2.12194440e-4
+#: Taylor coefficients 1/k! for exp(r) on |r| <= ln2/2
+_COEF = tuple(1.0 / math.factorial(k) for k in range(8))
+
+
+def fast_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """exp(x), faithful to ~2-3 ulps for float32; jnp.exp for other dtypes."""
+    if x.dtype != jnp.float32:
+        return jnp.exp(x)
+    # clamp in the x domain BEFORE reduction: a huge-magnitude argument
+    # (e.g. the autoconversion -(cldl/lcrit)^2 with a tiny cloud fraction)
+    # must not reach the polynomial with an unreduced remainder.
+    # exp(-87) ~ 1.6e-38 (f32 min normal) and exp(88) is near f32 max.
+    x = jnp.clip(x, -87.0, 88.0)
+    y = x * jnp.float32(LOG2E)
+    k = jax.lax.round(y, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+    # exact range reduction in the original domain (Cody-Waite)
+    r = (x - k * jnp.float32(LN2_HI)) - k * jnp.float32(LN2_LO)
+    p = jnp.float32(_COEF[7])
+    for c in _COEF[6::-1]:
+        p = p * r + jnp.float32(c)
+    ki = k.astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(ki + jnp.int32(127), jnp.int32(23)), jnp.float32
+    )
+    return p * scale

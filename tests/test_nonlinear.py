@@ -91,3 +91,34 @@ def test_nonlinear_matches_oracle_ldrain1d(state_with_qsat):
         np.testing.assert_allclose(
             np.asarray(diags[name]), diags_o[name], rtol=1e-10, atol=1e-13, err_msg=name
         )
+
+
+def test_fast_exp_faithful():
+    """fast_exp is a faithful f32 exponential (~1 ulp max) over the scheme's
+    argument range, underflows huge-negative arguments harmlessly, and
+    passes f64 through to the platform exp (the oracle path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu.physics.fastmath import fast_exp
+
+    f = jax.jit(fast_exp)
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.uniform(-90.0, 10.0, 200_000),
+        rng.uniform(-1e-3, 1e-3, 50_000),
+        np.array([0.0, -87.0, 4.5]),
+    ]).astype(np.float32)
+    got = np.asarray(f(jnp.asarray(xs)), np.float64)
+    want = np.exp(xs.astype(np.float64))
+    # faithfulness holds above the flush-to-min-normal clamp (x >= -87);
+    # below, results flush into [0, min-normal] (asserted separately)
+    mask = want > 1e-37
+    rel = np.abs(got[mask] - want[mask]) / want[mask]
+    assert rel.max() < 2.4e-7, rel.max()  # ~2 f32 ulps
+    # huge-negative arguments underflow without polynomial blow-up
+    ext = np.asarray(f(jnp.asarray(np.array([-1e8, -500.0], np.float32))))
+    assert (ext >= 0).all() and (ext < 2e-38).all(), ext
+    # f64 passes through bit-exactly to the platform exp
+    x64 = jnp.asarray(np.array([0.5, -3.0, 10.0]), jnp.float64)
+    np.testing.assert_array_equal(np.asarray(fast_exp(x64)), np.exp(np.asarray(x64)))
