@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 SHAPE = (137, 65536)
 LONG, SHORT = 96, 16
-REPS = 8  # outer fori_loop repeats of the fused chain to swamp dispatch
+REPS = 64  # outer fori_loop repeats of the fused chain to swamp tunnel noise
 
 OPS = {
     # every step must be algebraically UNFOLDABLE: an affine chain like
@@ -78,7 +78,9 @@ def main():
         if base is None:
             base = ns_per_elem
         print(json.dumps({"op": name, "ns_per_elem": round(ns_per_elem, 5),
-                          "vs_mul2": round(ns_per_elem / base, 2)}), flush=True)
+                          "vs_mul2": round(ns_per_elem / base, 2),
+                          "t_short_ms": round(ts * 1e3, 2),
+                          "t_long_ms": round(tl * 1e3, 2)}), flush=True)
 
 
 if __name__ == "__main__":

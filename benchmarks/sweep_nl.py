@@ -54,6 +54,15 @@ VARIANTS = [
     (16, 512, 2),
     (16, 512, 8),
     (8, 512, 1),
+    # lane-width sweep: a level slice is an (8, wb) tile = wb/128 vregs per
+    # op; wider tiles give the scheduler more independent vregs per op to
+    # hide VPU latency (the kernel runs ~2.5x above its op-budget estimate,
+    # pointing at dependency stalls, not op count)
+    (8, 1024, 1),
+    (4, 1024, 1),
+    (4, 2048, 1),
+    (16, 256, 1),
+    (8, 256, 1),
 ]
 
 for kb, wb, unroll in VARIANTS:

@@ -313,6 +313,11 @@ class Constants:
     ZEPS2: float = 1e-10
     ZQMAX: float = 0.5
     ZSCAL: float = 0.9
+    #: divide strategy for the physics bodies ("exact" | "faithful" |
+    #: "approx", see cloudsc2_tpu.physics.fastmath.DIV_MODES).  Non-exact
+    #: modes use the TPU hardware reciprocal and are only legal inside the
+    #: Pallas kernels; the scan/oracle paths keep the default.
+    FAST_DIV: str = "exact"
 
     def replace(self, **kw: Any) -> "Constants":
         return dataclasses.replace(self, **kw)

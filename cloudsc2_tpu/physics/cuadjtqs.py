@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
+from cloudsc2_tpu.physics.fastmath import div, rcp
 
 
 class _Phase(NamedTuple):
@@ -41,46 +42,64 @@ def _select_phase(t: jnp.ndarray, c: Constants) -> _Phase:
     )
 
 
-def _nl_iter(ap, t, q, p: _Phase, c: Constants):
-    """One adjustment iteration (reference ``f_cuadjtqs_nl_0``, ``:24-35``)."""
-    foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) / (t - p.z4es))
-    qsat = jnp.minimum(foeew / ap, c.ZQMAX)
-    cor = 1.0 / (1.0 - c.RETV * qsat)
+def _nl_iter(ap, t, q, p: _Phase, c: Constants, rap=None):
+    """One adjustment iteration (reference ``f_cuadjtqs_nl_0``, ``:24-35``).
+
+    One reciprocal of ``t - z4es`` serves both the saturation-pressure
+    exponent and ``z2s`` (replacing two of the four divides); ``rap``
+    optionally supplies a precomputed ``1/ap`` (non-exact modes only — the
+    exact path keeps the reference's division bit-for-bit).
+    """
+    fd = c.FAST_DIV
+    rt4 = rcp(t - p.z4es, fd)
+    foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
+    qsat0 = foeew * rap if (rap is not None and fd != "exact") else div(foeew, ap, fd)
+    qsat = jnp.minimum(qsat0, c.ZQMAX)
+    cor = rcp(1.0 - c.RETV * qsat, fd)
     qsat = qsat * cor
-    z2s = p.z5alcp / (t - p.z4es) ** 2.0
-    cond = (q - qsat) / (1.0 + qsat * cor * z2s)
+    z2s = p.z5alcp * rt4 * rt4
+    cond = div(q - qsat, 1.0 + qsat * cor * z2s, fd)
     return t + p.zaldcp * cond, q - cond
 
 
-def cuadjtqs_nl(ap, t, q, c: Constants):
+def cuadjtqs_nl(ap, t, q, c: Constants, rap=None):
     """Nonlinear two-iteration saturation adjustment."""
     p = _select_phase(t, c)
-    t, q = _nl_iter(ap, t, q, p, c)
-    t, q = _nl_iter(ap, t, q, p, c)
+    t, q = _nl_iter(ap, t, q, p, c, rap)
+    t, q = _nl_iter(ap, t, q, p, c, rap)
     return t, q
 
 
 def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants):
-    """One TL iteration (reference ``f_cuadjtqs_tl_0``, ``:24-51``)."""
-    qp = 1.0 / ap
-    qp_i = -ap_i / ap**2.0
-    foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) / (t - p.z4es))
-    foeew_i = foeew * p.z3es * t_i * (c.RTT - p.z4es) / (t - p.z4es) ** 2.0
+    """One TL iteration (reference ``f_cuadjtqs_tl_0``, ``:24-51``).
+
+    Strength-reduced: one reciprocal each of ``ap``, ``t - z4es``,
+    ``1 - RETV*qsat`` and the condensation denominator serve every quotient
+    (the reference spends ~8 divides per iteration on the same four
+    denominators).
+    """
+    fd = c.FAST_DIV
+    qp = rcp(ap, fd)
+    qp_i = -ap_i * qp * qp
+    rt4 = rcp(t - p.z4es, fd)
+    foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
+    foeew_i = foeew * p.z3es * t_i * (c.RTT - p.z4es) * rt4 * rt4
     qsat = qp * foeew
     qsat_i = qp_i * foeew + qp * foeew_i
     clip = qsat > c.ZQMAX
     qsat = jnp.where(clip, c.ZQMAX, qsat)
     qsat_i = jnp.where(clip, 0.0, qsat_i)
-    cor = 1.0 / (1.0 - c.RETV * qsat)
-    cor_i = c.RETV * qsat_i / (1.0 - c.RETV * qsat) ** 2.0
+    cor = rcp(1.0 - c.RETV * qsat, fd)
+    cor_i = c.RETV * qsat_i * cor * cor
     qsat_i = qsat_i * cor + qsat * cor_i
     qsat = qsat * cor
-    z2s = p.z5alcp / (t - p.z4es) ** 2.0
-    z2s_i = -2.0 * p.z5alcp * t_i / (t - p.z4es) ** 3.0
-    cond = (q - qsat) / (1.0 + qsat * cor * z2s)
-    cond_i = (q_i - qsat_i) / (1.0 + qsat * cor * z2s) - (q - qsat) * (
+    z2s = p.z5alcp * rt4 * rt4
+    z2s_i = -2.0 * z2s * t_i * rt4
+    rdenom = rcp(1.0 + qsat * cor * z2s, fd)
+    cond = (q - qsat) * rdenom
+    cond_i = (q_i - qsat_i) * rdenom - (q - qsat) * (
         qsat_i * cor * z2s + qsat * cor_i * z2s + qsat * cor * z2s_i
-    ) / (1.0 + qsat * cor * z2s) ** 2.0
+    ) * rdenom * rdenom
     return t + p.zaldcp * cond, t_i + p.zaldcp * cond_i, q - cond, q_i - cond_i
 
 
@@ -94,14 +113,16 @@ def cuadjtqs_tl(ap, ap_i, t, t_i, q, q_i, c: Constants):
 
 def _fwd_iter_traj(ap, t, q, p: _Phase, c: Constants):
     """Forward iteration storing the trajectory needed by the reverse sweep."""
-    foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) / (t - p.z4es))
-    qsat0 = foeew / ap
+    fd = c.FAST_DIV
+    rt4 = rcp(t - p.z4es, fd)
+    foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
+    qsat0 = div(foeew, ap, fd)
     clip = qsat0 > c.ZQMAX
     qsat_unc = jnp.where(clip, c.ZQMAX, qsat0)
-    cor = 1.0 / (1.0 - c.RETV * qsat_unc)
+    cor = rcp(1.0 - c.RETV * qsat_unc, fd)
     qsat = qsat_unc * cor
-    z2s = p.z5alcp / (t - p.z4es) ** 2.0
-    cond = (q - qsat) / (1.0 + qsat * cor * z2s)
+    z2s = p.z5alcp * rt4 * rt4
+    cond = div(q - qsat, 1.0 + qsat * cor * z2s, fd)
     traj = (t, q, foeew, qsat_unc, qsat, cor, z2s, clip)
     return t + p.zaldcp * cond, q - cond, traj
 
@@ -119,30 +140,34 @@ def cuadjtqs_ad(ap, ap_i, t, t_i, q, q_i, c: Constants):
     t1, q1, traj1 = _fwd_iter_traj(ap, t, q, p, c)
     t2, q2, traj2 = _fwd_iter_traj(ap, t1, q1, p, c)
 
+    fd = c.FAST_DIV
+    rap = rcp(ap, fd)
     qp_i = jnp.zeros_like(ap)
     for traj in (traj2, traj1):
         targ, q_in, foeew, qsat_unc, qsat, cor, z2s, clip = traj
         cond1_i = -q_i + p.zaldcp * t_i
-        denom = 1.0 + qsat * cor * z2s
-        q_i = q_i + cond1_i / denom
-        qsat_i = -cond1_i / denom - cond1_i * (q_in - qsat) * cor * z2s / denom**2.0
-        cor_i = -cond1_i * (q_in - qsat) * qsat * z2s / denom**2.0
-        z2s_i = -cond1_i * (q_in - qsat) * qsat * cor / denom**2.0
-        targ_i = -2.0 * z2s_i * p.z5alcp / (targ - p.z4es) ** 3.0
+        rdenom = rcp(1.0 + qsat * cor * z2s, fd)
+        rt4 = rcp(targ - p.z4es, fd)
+        q_i = q_i + cond1_i * rdenom
+        wgt = cond1_i * (q_in - qsat) * rdenom * rdenom
+        qsat_i = -cond1_i * rdenom - wgt * cor * z2s
+        cor_i = -wgt * qsat * z2s
+        z2s_i = -wgt * qsat * cor
+        targ_i = -2.0 * z2s_i * p.z5alcp * rt4 * rt4 * rt4
         cor_i = cor_i + qsat_i * qsat_unc
         qsat_i = qsat_i * cor
-        qsat_i = qsat_i + cor_i * c.RETV / (1.0 - c.RETV * qsat_unc) ** 2.0
+        qsat_i = qsat_i + cor_i * c.RETV * cor * cor
         qsat_i = jnp.where(clip, 0.0, qsat_i)
-        foeew_i = qsat_i / ap
+        foeew_i = qsat_i * rap if fd != "exact" else qsat_i / ap
         qp_i = qp_i + qsat_i * foeew
         targ_i = targ_i + (
             foeew_i
-            * c.R2ES
             * p.z3es
             * (c.RTT - p.z4es)
-            * jnp.exp(p.z3es * (targ - c.RTT) / (targ - p.z4es))
-            / (targ - p.z4es) ** 2.0
+            * foeew
+            * rt4
+            * rt4
         )
         t_i = t_i + targ_i
-    ap_i = ap_i - qp_i / ap**2.0
+    ap_i = ap_i - qp_i * rap * rap if fd != "exact" else ap_i - qp_i / ap**2.0
     return ap_i, t2, t_i, q2, q_i

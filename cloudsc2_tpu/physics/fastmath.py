@@ -28,6 +28,41 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+#: Divide-strategy modes for :func:`rcp` / :func:`div` (selected by the
+#: static ``Constants.FAST_DIV`` field):
+#:
+#: * ``"exact"``    — plain division (the default; bit-identical to the
+#:   oracle, valid everywhere including the f64 ``lax.scan`` paths)
+#: * ``"faithful"`` — hardware approximate reciprocal + one Newton step.
+#:   Measured on v5e (``benchmarks/microbench_div.py``): same max relative
+#:   error as the native divide on a 64-deep chain, at 0.81x the cost.
+#: * ``"approx"``   — raw hardware approximate reciprocal, ~6e-6 relative
+#:   error on v5e, 0.17x the divide cost.  Within the driver's f32
+#:   validation gates (2e-4/1e-2) but NOT ulp-comparable to the oracle.
+#:
+#: The non-exact modes use ``pl.reciprocal`` and are therefore only legal
+#: inside a Pallas kernel (or interpret mode); the scan paths must keep the
+#: default.  Non-f32 operands always fall back to exact division.
+DIV_MODES = ("exact", "faithful", "approx")
+
+
+def rcp(x: jnp.ndarray, mode: str = "exact") -> jnp.ndarray:
+    """1/x under the given divide strategy (see :data:`DIV_MODES`)."""
+    if mode == "exact" or x.dtype != jnp.float32:
+        return 1.0 / x
+    r = pl.reciprocal(x, approx=True)
+    if mode == "faithful":
+        r = r * (2.0 - x * r)
+    return r
+
+
+def div(a, b: jnp.ndarray, mode: str = "exact") -> jnp.ndarray:
+    """a/b under the given divide strategy (see :data:`DIV_MODES`)."""
+    if mode == "exact" or b.dtype != jnp.float32:
+        return a / b
+    return a * rcp(b, mode)
 
 LOG2E = 1.4426950408889634
 # Cody-Waite split of ln2: hi has its low mantissa bits zeroed so k*LN2_HI

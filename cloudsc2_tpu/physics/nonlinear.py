@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics import fcttre
+from cloudsc2_tpu.physics.fastmath import div, rcp
 from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_nl
 
 Array = jnp.ndarray
@@ -131,10 +132,11 @@ def nl_level(
     the hand-written adjoint needs for its reverse sweep.
     """
     rfl, sfl, covptot = carry
+    fd = c.FAST_DIV
     ap = x["ap"]
     # the fused Pallas path precomputes 1/ap once and shares it with the
     # in-kernel saturation diagnostic
-    rap = x["rap"] if "rap" in x else 1.0 / ap
+    rap = x["rap"] if "rap" in x else rcp(ap, fd)
     qsat_in = x["qsat"]
     aux: Dict[str, Array] = {}
 
@@ -157,7 +159,7 @@ def nl_level(
     # moist heat capacity instead of three VPU divides
     dp = x["aph1"] - x["aph0"]
     zz = c.RCPD + c.RCPD * c.RVTMP2 * q
-    rzz = 1.0 / zz
+    rzz = rcp(zz, fd)
     lfdcp = c.RLMLT * rzz
     lsdcp = c.RLSTT * rzz
     lvdcp = c.RLVTT * rzz
@@ -167,8 +169,8 @@ def nl_level(
     # One reciprocal each of (t - R4LES) and (t - R4IES) serves the
     # saturation-pressure exponent argument AND the two dqs/dT factors
     # (facw = R5LES/(t-R4LES)^2 = R5LES*rl*rl), replacing three divides.
-    rl = 1.0 / (t - c.R4LES)
-    ri = 1.0 / (t - c.R4IES)
+    rl = rcp(t - c.R4LES, fd)
+    ri = rcp(t - c.R4IES, fd)
     if c.LPHYLIN or c.LDRAIN1D:
         cold = t < c.RTT
         fwat = jnp.where(cold, 0.545 * (jnp.tanh(0.17 * (t - c.RLPTRC)) + 1.0), 1.0)
@@ -189,7 +191,7 @@ def nl_level(
     # ap * fac2 with fac2 = 1/(ap - RETV*foeew) — the reciprocal the
     # subsidence section needs anyway (reference :219) — so the clip case
     # reduces to a compile-time constant and one divide disappears
-    fac2 = 1.0 / (ap - c.RETV * foeew)
+    fac2 = rcp(ap - c.RETV * foeew, fd)
     cor_unclipped = ap * fac2
     if c.LPHYLIN or c.LDRAIN1D:
         cor = jnp.where(
@@ -229,7 +231,11 @@ def nl_level(
     qcd = qsat - qcrit
     denom = qcd - scalm * (qt - qcrit)
     denom_safe = jnp.where(mid, denom, 1.0)
-    ratio = jnp.where(mid, qpd / denom_safe, 0.0)
+    # ratio <= 1 holds in real arithmetic ((1-scalm)*(qt-qcrit) >= 0 in the
+    # mid regime) but not under rounding — a divide/reciprocal ulp can push
+    # it past 1 and drive clc = 1 - sqrt(ratio) negative; clamp to keep the
+    # clc \in [0, 1] invariant under every divide strategy
+    ratio = jnp.minimum(jnp.where(mid, div(qpd, denom_safe, fd), 0.0), 1.0)
     tmp3 = jnp.sqrt(ratio)
     clc_mid = 1.0 - tmp3
     qc_mid = (scalm * qpd + (1.0 - scalm) * qcd) * clc_mid**2.0
@@ -241,23 +247,23 @@ def nl_level(
     )
 
     # convective detrainment (reference :209-215)
-    gdp = c.RG / (x["aph1"] - x["aph0"])
+    gdp = div(c.RG, x["aph1"] - x["aph0"], fd)
     lude = dt * x["lude"] * gdp
     lu1 = x["lu_next"]
     lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
     lu1_safe = jnp.where(lo1, lu1, 1.0)
-    tmp2 = jnp.exp(-lude / lu1_safe)
+    tmp2 = jnp.exp(div(-lude, lu1_safe, fd))
     clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
     qc = jnp.where(lo1, qc + lude, qc)
     aux.update(gdp=gdp, lude=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
 
     # compensating subsidence (reference :217-224); fac4 = 1/rho = RD*t/ap
     # computed without a third divide; fac2 was already formed for cor above
-    fac1 = 1.0 / (c.RD * t)
+    fac1 = rcp(c.RD * t, fd)
     rho = ap * fac1
     rodqsdp = -rho * qsat_in * fac2
     ldcp = fwat * lvdcp + (1.0 - fwat) * lsdcp
-    fac3 = 1.0 / (1.0 + ldcp * dqsdtemp)
+    fac3 = rcp(1.0 + ldcp * dqsdtemp, fd)
     dtdzmo = c.RG * (1.0 / c.RCPD - ldcp * rodqsdp) * fac3
     dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
     fac4 = c.RD * t * rap
@@ -309,13 +315,17 @@ def nl_level(
     # one reciprocal of the cloud fraction serves both species, and the
     # static crit thresholds divide at compile time
     clc_safe = jnp.where(act, clc, 1.0)
-    rclc = 1.0 / clc_safe
+    rclc = rcp(clc_safe, fd)
     cldl = qlwc * rclc
     ltmp1 = jnp.exp(-(cldl * cldl * (1.0 / (lcrit * lcrit))))
     dl = ckcodtl * (1.0 - ltmp1)
     ltmp2 = jnp.exp(-dl)
     qlnew = clc * cldl * ltmp2
-    prr = jnp.where(act, qlwc - qlnew, 0.0)
+    # qlnew <= qlwc in real arithmetic (clc*cldl == qlwc, ltmp2 <= 1), but
+    # clc*(qlwc/clc) rounds past qlwc when ltmp2 ~ 1; clamp so the rain
+    # increment — and hence the accumulated fplsl flux — stays >= 0 under
+    # every divide strategy
+    prr = jnp.where(act, jnp.maximum(qlwc - qlnew, 0.0), 0.0)
     qlwc = qlwc - prr
 
     cldi = qiwc * rclc
@@ -324,7 +334,7 @@ def nl_level(
     di = ckcodti * itmp12 * (1.0 - itmp11)
     itmp2 = jnp.exp(-di)
     qinew = clc * cldi * itmp2
-    prs = jnp.where(act, qiwc - qinew, 0.0)
+    prs = jnp.where(act, jnp.maximum(qiwc - qinew, 0.0), 0.0)
     qiwc = qiwc - prs
     aux.update(
         act=act, clc_safe=clc_safe, cldl=cldl, ltmp1=ltmp1, ltmp2=ltmp2,
@@ -349,22 +359,22 @@ def nl_level(
         eact = (prtot > c.ZEPS2) & (covpclr > c.ZEPS2)
         covptot_safe = jnp.where(eact, covptot, 1.0)
         covpclr_safe = jnp.where(eact, covpclr, 1.0)
-        preclr1 = prtot * covpclr / covptot_safe
+        preclr1 = div(prtot * covpclr, covptot_safe, fd)
         clcc = jnp.where(eact, 1.0 - clc, 1.0)
-        qe = qsat_in - (qsat_in - qlim) * covpclr / clcc**2.0
-        sqr = jnp.sqrt(ap / aph_s)
-        barg = jnp.where(eact, sqr / 0.00509 * preclr1 / covpclr_safe, 1.0)
+        qe = qsat_in - div((qsat_in - qlim) * covpclr, clcc**2.0, fd)
+        sqr = jnp.sqrt(div(ap, aph_s, fd))
+        barg = jnp.where(eact, div(sqr / 0.00509 * preclr1, covpclr_safe, fd), 1.0)
         beta = c.RG * c.RPECONS * barg**0.5777
-        b = dt * beta * (qsat_in - qe) / (1.0 + dt * beta * corqs)
-        dtgdp = dt * c.RG / (x["aph1"] - x["aph0"])
-        dpr1 = covpclr * b / dtgdp
+        b = div(dt * beta * (qsat_in - qe), 1.0 + dt * beta * corqs, fd)
+        dtgdp = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
+        dpr1 = div(covpclr * b, dtgdp, fd)
         dpr = jnp.where(eact, jnp.minimum(dpr1, preclr1), 0.0)
         preclr = preclr1 - dpr
         covptot = jnp.where(eact & (preclr <= 0.0), clc, covptot)
         covptot_out = jnp.where(eact, covptot, 0.0)
         prtot_safe = jnp.where(eact, prtot, 1.0)
-        evapr = jnp.where(eact, dpr * rfln / prtot_safe, 0.0)
-        evaps = jnp.where(eact, dpr * sfln / prtot_safe, 0.0)
+        evapr = jnp.where(eact, div(dpr * rfln, prtot_safe, fd), 0.0)
+        evaps = jnp.where(eact, div(dpr * sfln, prtot_safe, fd), 0.0)
         rfln = rfln - evapr
         sfln = sfln - evaps
         aux.update(
@@ -395,7 +405,7 @@ def nl_level(
     aux.update(dqdt=dqdt, dtdt=dtdt, t3=t3, qold1=qold1)
 
     # saturation-adjustment clipping (reference :347)
-    t, q = cuadjtqs_nl(ap, t3, q, c)
+    t, q = cuadjtqs_nl(ap, t3, q, c, rap=rap)
     aux.update(t_adj=t, q_adj=q)
 
     # post-clipping rain fraction and freezing (reference :349-364).

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics import fcttre
+from cloudsc2_tpu.physics.fastmath import div
 
 
 @partial(jax.jit, static_argnames=("kflag", "lphylin", "c"))
@@ -54,5 +55,5 @@ def saturation(
         ew = fcttre.foeewmcu(t, c) if kflag == 1 else fcttre.foeewm(t, c)
     # default path divides (bit-identical to the scalar oracle); the fused
     # kernel passes rap and trades the divide for a multiply (~1 ulp)
-    qs = jnp.minimum(ew / ap if rap is None else ew * rap, qmax)
-    return qs / (1.0 - c.RETV * qs)
+    qs = jnp.minimum(div(ew, ap, c.FAST_DIV) if rap is None else ew * rap, qmax)
+    return div(qs, 1.0 - c.RETV * qs, c.FAST_DIV)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_tl
+from cloudsc2_tpu.physics.fastmath import div, rcp
 from cloudsc2_tpu.physics.nonlinear import critical_rh, prepare_level_inputs, tropopause_eta
 
 Array = jnp.ndarray
@@ -61,6 +62,7 @@ def tl_level(
 ) -> Tuple[TLCarry, Dict[str, Array]]:
     """One vertical level of the tangent-linear scheme (reference :149-753)."""
     rfl, sfl, covptot, rfl_i, sfl_i, covptot_i = carry
+    fd = c.FAST_DIV
     ap = x["ap"]
     ap_i = x["ap_i"]
     qsat_in = x["qsat"]
@@ -89,8 +91,8 @@ def tl_level(
     # thermodynamic coefficients, inverse form (reference :170-180)
     dp = x["aph1"] - x["aph0"]
     dp_i = x["aph1_i"] - x["aph0_i"]
-    zz = 1.0 / (c.RCPD + c.RCPD * c.RVTMP2 * q)
-    zz_i = -c.RCPD * c.RVTMP2 * q_i / (c.RCPD + c.RCPD * c.RVTMP2 * q) ** 2.0
+    zz = rcp(c.RCPD + c.RCPD * c.RVTMP2 * q, fd)
+    zz_i = div(-c.RCPD * c.RVTMP2 * q_i, (c.RCPD + c.RCPD * c.RVTMP2 * q) ** 2.0, fd)
     lfdcp = c.RLMLT * zz
     lfdcp_i = c.RLMLT * zz_i
     lsdcp = c.RLSTT * zz
@@ -107,22 +109,22 @@ def tl_level(
     fwat_i = jnp.where(cold, 0.545 * 0.17 * t_i * (1.0 - th * th), 0.0)
     z3es = jnp.where(cold, c.R3IES, c.R3LES)
     z4es = jnp.where(cold, c.R4IES, c.R4LES)
-    foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) / (t - z4es))
-    foeew_i = z3es * (c.RTT - z4es) * t_i * foeew / (t - z4es) ** 2.0
-    esdp = foeew / ap
-    esdp_i = foeew_i / ap - foeew * ap_i / ap**2.0
+    foeew = c.R2ES * jnp.exp(div(z3es * (t - c.RTT), t - z4es, fd))
+    foeew_i = div(z3es * (c.RTT - z4es) * t_i * foeew, (t - z4es) ** 2.0, fd)
+    esdp = div(foeew, ap, fd)
+    esdp_i = div(foeew_i, ap, fd) - div(foeew * ap_i, ap**2.0, fd)
     clip_esdp = esdp > c.ZQMAX
     esdp = jnp.where(clip_esdp, c.ZQMAX, esdp)
     esdp_i = jnp.where(clip_esdp, 0.0, esdp_i)
 
-    facw = c.R5LES / (t - c.R4LES) ** 2.0
-    facw_i = -2.0 * c.R5LES * t_i / (t - c.R4LES) ** 3.0
-    faci = c.R5IES / (t - c.R4IES) ** 2.0
-    faci_i = -2.0 * c.R5IES * t_i / (t - c.R4IES) ** 3.0
+    facw = div(c.R5LES, (t - c.R4LES) ** 2.0, fd)
+    facw_i = div(-2.0 * c.R5LES * t_i, (t - c.R4LES) ** 3.0, fd)
+    faci = div(c.R5IES, (t - c.R4IES) ** 2.0, fd)
+    faci_i = div(-2.0 * c.R5IES * t_i, (t - c.R4IES) ** 3.0, fd)
     fac = fwat * facw + (1.0 - fwat) * faci
     fac_i = fwat_i * (facw - faci) + fwat * facw_i + (1.0 - fwat) * faci_i
-    cor = 1.0 / (1.0 - c.RETV * esdp)
-    cor_i = c.RETV * esdp_i / (1.0 - c.RETV * esdp) ** 2.0
+    cor = rcp(1.0 - c.RETV * esdp, fd)
+    cor_i = div(c.RETV * esdp_i, (1.0 - c.RETV * esdp) ** 2.0, fd)
     dqsdtemp = fac * cor * qsat_in
     dqsdtemp_i = fac_i * cor * qsat_in + fac * cor_i * qsat_in + fac * cor * qsat_in_i
     corqs = 1.0 + cons3 * dqsdtemp
@@ -158,23 +160,30 @@ def tl_level(
     qcd_i = qsat_i - qcrit_i
     denom = qcd - scalm * (qt - qcrit)
     denom_safe = jnp.where(mid, denom, 1.0)
-    tmp1 = jnp.sqrt(jnp.where(mid, qpd / denom_safe, 0.0))
+    tmp1 = jnp.sqrt(jnp.where(mid, div(qpd, denom_safe, fd), 0.0))
     tmp1_safe = jnp.where(mid, tmp1, 1.0)
     clc_mid = 1.0 - tmp1
     clc_mid_i = (
         -0.5
-        / tmp1_safe
-        * (qpd_i * denom - qpd * (qcd_i - scalm * (qt_i - qcrit_i)))
-        / denom_safe**2.0
+        * rcp(tmp1_safe, fd)
+        * div(
+            qpd_i * denom - qpd * (qcd_i - scalm * (qt_i - qcrit_i)),
+            denom_safe**2.0,
+            fd,
+        )
     )
     if c.LREGCL:
         # regularization of the cloud-fraction perturbation (reference :294-301)
         qcd_safe = jnp.where(mid, qcd, 1.0)
-        rat = qpd / qcd_safe
+        rat = div(qpd, qcd_safe, fd)
         yyy = jnp.minimum(
             0.3,
-            3.5 * jnp.sqrt(jnp.maximum(rat * (1.0 - scalm * (1.0 - rat)) ** 3.0, 0.0))
-            / (1.0 - scalm),
+            div(
+                3.5
+                * jnp.sqrt(jnp.maximum(rat * (1.0 - scalm * (1.0 - rat)) ** 3.0, 0.0)),
+                1.0 - scalm,
+                fd,
+            ),
         )
         clc_mid_i = clc_mid_i * yyy
     qc_mid = (scalm * qpd + (1.0 - scalm) * qcd) * clc_mid**2.0
@@ -188,17 +197,17 @@ def tl_level(
     qc_i = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat_i - qcrit_i), qc_mid_i))
 
     # convective component (reference :308-325)
-    gdp = c.RG / (x["aph1"] - x["aph0"])
-    gdp_i = -c.RG * (x["aph1_i"] - x["aph0_i"]) / (x["aph1"] - x["aph0"]) ** 2.0
+    gdp = div(c.RG, x["aph1"] - x["aph0"], fd)
+    gdp_i = div(-c.RG * (x["aph1_i"] - x["aph0_i"]), (x["aph1"] - x["aph0"]) ** 2.0, fd)
     lude = dt * x["lude"] * gdp
     lude_i = dt * (x["lude_i"] * gdp + x["lude"] * gdp_i)
     lu1 = x["lu_next"]
     lu1_i = x["lu_next_i"]
     lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
     lu1_safe = jnp.where(lo1, lu1, 1.0)
-    tmp2 = jnp.exp(-lude / lu1_safe)
+    tmp2 = jnp.exp(div(-lude, lu1_safe, fd))
     clc_i_conv = -clc_i * (1.0 - tmp2) + (1.0 - clc) * tmp2 * (
-        lude_i / lu1_safe - lude * lu1_i / lu1_safe**2.0
+        div(lude_i, lu1_safe, fd) - div(lude * lu1_i, lu1_safe**2.0, fd)
     )
     clc_i = jnp.where(lo1, clc_i + clc_i_conv, clc_i)
     clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
@@ -206,10 +215,10 @@ def tl_level(
     qc_i = jnp.where(lo1, qc_i + lude_i, qc_i)
 
     # compensating subsidence (reference :327-373)
-    fac1 = 1.0 / (c.RD * t)
+    fac1 = rcp(c.RD * t, fd)
     rho = ap * fac1
-    rho_i = (ap_i - ap * t_i / t) * fac1
-    fac2 = 1.0 / (ap - c.RETV * foeew)
+    rho_i = (ap_i - div(ap * t_i, t, fd)) * fac1
+    fac2 = rcp(ap - c.RETV * foeew, fd)
     rodqsdp = -rho * qsat_in * fac2
     rodqsdp_i = (
         -rho_i * qsat_in
@@ -218,7 +227,7 @@ def tl_level(
     ) * fac2
     ldcp = fwat * lvdcp + (1.0 - fwat) * lsdcp
     ldcp_i = fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i
-    fac3 = 1.0 / (1.0 + ldcp * dqsdtemp)
+    fac3 = rcp(1.0 + ldcp * dqsdtemp, fd)
     dtdzmo = c.RG * (1.0 / c.RCPD - ldcp * rodqsdp) * fac3
     dtdzmo_i = (
         -(
@@ -230,13 +239,15 @@ def tl_level(
     dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
     dqsdz_i = dqsdtemp_i * dtdzmo + dqsdtemp * dtdzmo_i - c.RG * rodqsdp_i
 
-    sub = dt * dqsdz * (x["mfu"] + x["mfd"]) / rho
+    sub = div(dt * dqsdz * (x["mfu"] + x["mfd"]), rho, fd)
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
-    dqc_i_sub = (
+    dqc_i_sub = div(
         dt * (dqsdz_i * (x["mfu"] + x["mfd"]) + dqsdz * (x["mfu_i"] + x["mfd_i"]))
-        - dqc * rho_i
-    ) / rho
+        - dqc * rho_i,
+        rho,
+        fd,
+    )
     if c.LREGCL:
         dqc_i_sub = dqc_i_sub * 0.1  # reference :367-368
     dqc_i = jnp.where(lo3, dqc_i_sub, qc_i)
@@ -266,8 +277,8 @@ def tl_level(
 
     # melting of incoming snow (reference :399-427)
     melt = sfl != 0.0
-    cons = cons2 * dp / lfdcp
-    cons_i = cons2 * (dp_i * lfdcp - dp * lfdcp_i) / lfdcp**2.0
+    cons = div(cons2 * dp, lfdcp, fd)
+    cons_i = div(cons2 * (dp_i * lfdcp - dp * lfdcp_i), lfdcp**2.0, fd)
     warm = t > meltp2
     z2s = jnp.where(warm, cons * (t - meltp2), 0.0)
     z2s_i = jnp.where(warm, cons_i * (t - meltp2) + cons * t_i, 0.0)
@@ -278,8 +289,8 @@ def tl_level(
     rfln_i = jnp.where(melt, rfl_i + snmlt_i, rfl_i)
     sfln = jnp.where(melt, sfl - snmlt, sfl)
     sfln_i = jnp.where(melt, sfl_i - snmlt_i, sfl_i)
-    t_i = jnp.where(melt, t_i - (snmlt_i * cons - snmlt * cons_i) / cons**2.0, t_i)
-    t = jnp.where(melt, t - snmlt / cons, t)
+    t_i = jnp.where(melt, t_i - div(snmlt_i * cons - snmlt * cons_i, cons**2.0, fd), t_i)
+    t = jnp.where(melt, t - div(snmlt, cons, fd), t)
 
     # autoconversion of cloud water/ice (reference :429-503)
     act = clc > c.ZEPS2
@@ -291,9 +302,9 @@ def tl_level(
         icrit = 2.0 * c.RCLCRIT
     clc_safe = jnp.where(act, clc, 1.0)
 
-    cldl = qlwc / clc_safe
-    cldl_i = qlwc_i / clc_safe - qlwc * clc_i / clc_safe**2.0
-    ltmp4 = jnp.exp(-((cldl / lcrit) ** 2.0))
+    cldl = div(qlwc, clc_safe, fd)
+    cldl_i = div(qlwc_i, clc_safe, fd) - div(qlwc * clc_i, clc_safe**2.0, fd)
+    ltmp4 = jnp.exp(-((cldl * (1.0 / lcrit)) ** 2.0))
     dl = ckcodtl * (1.0 - ltmp4)
     ltmp5 = jnp.exp(-dl)
     lfactor = ckcodtla if c.LREGCL else ckcodtl  # reference :444-448
@@ -305,15 +316,15 @@ def tl_level(
     qlwc = qlwc - prr
     qlwc_i = qlwc_i - prr_i
 
-    cldi = qiwc / clc_safe
-    cldi_i = qiwc_i / clc_safe - qiwc * clc_i / clc_safe**2.0
-    itmp41 = jnp.exp(-((cldi / icrit) ** 2.0))
+    cldi = div(qiwc, clc_safe, fd)
+    cldi_i = div(qiwc_i, clc_safe, fd) - div(qiwc * clc_i, clc_safe**2.0, fd)
+    itmp41 = jnp.exp(-((cldi * (1.0 / icrit)) ** 2.0))
     itmp42 = jnp.exp(0.025 * (t - c.RTT))
     di = ckcodti * itmp42 * (1.0 - itmp41)
     itmp5 = jnp.exp(-di)
     ifactor = ckcodtia if c.LREGCL else ckcodti  # reference :475-487
     di_i = ifactor * itmp42 * (
-        itmp41 * (2.0 * cldi * cldi_i / icrit**2.0 - 0.025 * t_i) + 0.025 * t_i
+        itmp41 * (2.0 * cldi * cldi_i * (1.0 / icrit**2.0) - 0.025 * t_i) + 0.025 * t_i
     )
     qinew = clc * cldi * itmp5
     qinew_i = clc_i * cldi * itmp5 + clc * cldi_i * itmp5 - clc * cldi * itmp5 * di_i
@@ -343,28 +354,31 @@ def tl_level(
         covptot_safe = jnp.where(eact, covptot, 1.0)
         covpclr_safe = jnp.where(eact, covpclr, 1.0)
         prtot_safe = jnp.where(eact, prtot, 1.0)
-        preclr = prtot * covpclr / covptot_safe
+        preclr = div(prtot * covpclr, covptot_safe, fd)
         preclr_i = (
-            (prtot_i * covpclr + prtot * covpclr_i) / covptot_safe
-            - prtot * covpclr * covptot_i / covptot_safe**2.0
+            div(prtot_i * covpclr + prtot * covpclr_i, covptot_safe, fd)
+            - div(prtot * covpclr * covptot_i, covptot_safe**2.0, fd)
         )
         clcc = jnp.where(eact, 1.0 - clc, 1.0)
-        qe = qsat_in - (qsat_in - qlim) * covpclr / clcc**2.0
+        qe = qsat_in - div((qsat_in - qlim) * covpclr, clcc**2.0, fd)
         qe_i = (
             qsat_in_i
-            - (qsat_in_i * covpclr - qlim_i * covpclr + (qsat_in - qlim) * covpclr_i)
-            / clcc**2.0
-            - 2.0 * (qsat_in - qlim) * covpclr * clc_i / clcc**3.0
+            - div(
+                qsat_in_i * covpclr - qlim_i * covpclr + (qsat_in - qlim) * covpclr_i,
+                clcc**2.0,
+                fd,
+            )
+            - div(2.0 * (qsat_in - qlim) * covpclr * clc_i, clcc**3.0, fd)
         )
-        tmp6 = jnp.sqrt(ap / aph_s)
+        tmp6 = jnp.sqrt(div(ap, aph_s, fd))
         preclr_safe = jnp.where(eact & (preclr > 0.0), preclr, 1.0)
-        beta = c.RG * c.RPECONS * (tmp6 * preclr_safe / (0.00509 * covpclr_safe)) ** 0.5777
+        beta = c.RG * c.RPECONS * div(tmp6 * preclr_safe, 0.00509 * covpclr_safe, fd) ** 0.5777
         beta_i = (
             0.5777
             * c.RG
             * c.RPECONS
             / 0.00509
-            * (0.00509 * covpclr_safe / (tmp6 * preclr_safe)) ** 0.4223
+            * div(0.00509 * covpclr_safe, tmp6 * preclr_safe, fd) ** 0.4223
             * (
                 (
                     tmp6 * preclr_i
@@ -377,27 +391,29 @@ def tl_level(
                     # out by default (LEVAPLS2=False) and never validates;
                     # we keep the exact form, pinned by the jax.jvp
                     # cross-check with LEVAPLS2=True.
-                    + 0.5 * preclr_safe * ap_i / (tmp6 * aph_s)
-                    - 0.5 * preclr_safe * tmp6 * aph_s_i / aph_s
+                    + div(0.5 * preclr_safe * ap_i, tmp6 * aph_s, fd)
+                    - div(0.5 * preclr_safe * tmp6 * aph_s_i, aph_s, fd)
                 )
-                / covpclr_safe
-                - tmp6 * preclr_safe * covpclr_i / covpclr_safe**2.0
+                * rcp(covpclr_safe, fd)
+                - div(tmp6 * preclr_safe * covpclr_i, covpclr_safe**2.0, fd)
             )
         )
-        b = dt * beta * (qsat_in - qe) / (1.0 + dt * beta * corqs)
+        b = div(dt * beta * (qsat_in - qe), 1.0 + dt * beta * corqs, fd)
         # quotient rule for b = u/v, u = dt*beta*(qsat-qe),
         # v = 1 + dt*beta*corqs: the second term is u*v_i/v^2 = dt*b*(...)/v.
         # The reference TL writes dt**2*b*(...)/v
         # (tangent_linear/_stencils/cloudsc2.py:579-581) — an extra factor of
         # dt (~600x) in a branch it compiles out by default; we keep the
         # exact derivative, pinned by the jax.jvp cross-check.
-        b_i = dt * (beta_i * (qsat_in - qe) + beta * (qsat_in_i - qe_i)) / (
-            1.0 + dt * beta * corqs
-        ) - dt * b * (beta_i * corqs + beta * corqs_i) / (1.0 + dt * beta * corqs)
-        dtgdp = dt * c.RG / (x["aph1"] - x["aph0"])
-        dtgdp_i = -dt * c.RG * (x["aph1_i"] - x["aph0_i"]) / (x["aph1"] - x["aph0"]) ** 2.0
-        dpr = covpclr * b / dtgdp
-        dpr_i = (covpclr_i * b + covpclr * b_i) / dtgdp - covpclr * b * dtgdp_i / dtgdp**2.0
+        b_i = div(
+            dt * (beta_i * (qsat_in - qe) + beta * (qsat_in_i - qe_i)),
+            1.0 + dt * beta * corqs,
+            fd,
+        ) - div(dt * b * (beta_i * corqs + beta * corqs_i), 1.0 + dt * beta * corqs, fd)
+        dtgdp = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
+        dtgdp_i = div(-dt * c.RG * (x["aph1_i"] - x["aph0_i"]), (x["aph1"] - x["aph0"]) ** 2.0, fd)
+        dpr = div(covpclr * b, dtgdp, fd)
+        dpr_i = div(covpclr_i * b + covpclr * b_i, dtgdp, fd) - div(covpclr * b * dtgdp_i, dtgdp**2.0, fd)
         big = dpr > preclr
         dpr = jnp.where(big, preclr, dpr)
         dpr_i = jnp.where(big, preclr_i, dpr_i)
@@ -410,18 +426,18 @@ def tl_level(
         covptot_i = jnp.where(drained, clc_i, covptot_i)
         covptot_out = jnp.where(eact, covptot, 0.0)
         covptot_out_i = jnp.where(eact, covptot_i, 0.0)
-        evapr = jnp.where(eact, dpr * rfln / prtot_safe, 0.0)
+        evapr = jnp.where(eact, div(dpr * rfln, prtot_safe, fd), 0.0)
         evapr_i = jnp.where(
             eact,
-            (dpr_i * rfln + dpr * rfln_i) / prtot_safe - dpr * rfln * prtot_i / prtot_safe**2.0,
+            div(dpr_i * rfln + dpr * rfln_i, prtot_safe, fd) - div(dpr * rfln * prtot_i, prtot_safe**2.0, fd),
             0.0,
         )
         rfln = rfln - evapr
         rfln_i = rfln_i - evapr_i
-        evaps = jnp.where(eact, dpr * sfln / prtot_safe, 0.0)
+        evaps = jnp.where(eact, div(dpr * sfln, prtot_safe, fd), 0.0)
         evaps_i = jnp.where(
             eact,
-            (dpr_i * sfln + dpr * sfln_i) / prtot_safe - dpr * sfln * prtot_i / prtot_safe**2.0,
+            div(dpr_i * sfln + dpr * sfln_i, prtot_safe, fd) - div(dpr * sfln * prtot_i, prtot_safe**2.0, fd),
             0.0,
         )
         sfln = sfln - evaps

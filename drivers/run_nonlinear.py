@@ -77,6 +77,14 @@ def core(config, io_config, impl="auto"):
             ncols=config.num_cols, nlev=137, seed=0, dtype=dtype
         )
         c = make_constants(lphylin=True, ldrain1d=False)
+    fast_div = getattr(config, "_fast_div", None)
+    if fast_div and fast_div != "exact":
+        if impl not in ("pallas", "pallas-interpret"):
+            raise click.UsageError(
+                "--fast-div requires --impl pallas (the hardware reciprocal "
+                "only exists inside the Pallas kernels)"
+            )
+        c = c.replace(FAST_DIV=fast_div)
 
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     ncols = grid.ncols
@@ -265,12 +273,16 @@ def config_tolerances(config):
 @click.option("--impl", type=click.Choice(["auto", "scan", "pallas", "pallas-interpret"]),
               default="auto", help="kernel implementation (auto: pallas on TPU when "
               "f32 and ncols is a multiple of the column tile, else scan)")
+@click.option("--fast-div", type=click.Choice(["exact", "faithful", "approx"]),
+              default="exact", help="divide strategy inside the Pallas kernels "
+              "(see cloudsc2_tpu.physics.fastmath.DIV_MODES); non-exact modes "
+              "require --impl pallas and are covered by the f32 validation gates")
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
     input_file, reference_file, atol, rtol, sharded, distributed, coordinator,
     process_id, num_processes, output_csv_file,
-    output_csv_file_stencils, profile_dir, impl, host_alias,
+    output_csv_file_stencils, profile_dir, impl, fast_div, host_alias,
 ):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
@@ -300,6 +312,7 @@ def main(
     object.__setattr__(config, "_atol", atol)
     object.__setattr__(config, "_rtol", rtol)
     object.__setattr__(config, "_profile_dir", profile_dir)
+    object.__setattr__(config, "_fast_div", fast_div)
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
         .with_output_csv_file_stencils(output_csv_file_stencils)

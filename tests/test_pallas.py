@@ -183,3 +183,29 @@ def test_pallas_tl_matches_scan(f32_state):
         np.testing.assert_allclose(
             np.asarray(diags[n]), np.asarray(diags_ref[n]), rtol=3e-5, atol=1e-5, err_msg=n
         )
+
+
+@pytest.mark.parametrize("mode,bound", [("faithful", 1e-3), ("approx", 0.2)])
+def test_pallas_fast_div_modes(f32_state, mode, bound):
+    """FAST_DIV plumbing: the non-exact divide strategies (hardware
+    approximate reciprocal, ``fastmath.rcp``) produce physically valid
+    outputs close to the exact kernel.  Interpret mode models the approx
+    reciprocal at ~3.8e-3 relative error — ~650x worse than the measured
+    v5e hardware (~6e-6, ``benchmarks/microbench_div.py``) — so the bounds
+    here are deliberately loose; the hardware-accuracy gate is the driver's
+    f32 golden validation with ``--fast-div`` (``benchmarks/sweep_fastdiv.py``)."""
+    s, dt, c = f32_state
+    ref_t, ref_d = cloudsc2_nl_pallas(s, dt, c, interpret=True)
+    cf = c.replace(FAST_DIV=mode)
+    t2, d2 = cloudsc2_nl_pallas(s, dt, cf, interpret=True)
+    for ref, got in ((ref_t, t2), (ref_d, d2)):
+        for k in ref:
+            a = np.asarray(ref[k], np.float64)
+            b = np.asarray(got[k], np.float64)
+            assert np.isfinite(b).all(), k
+            scaled = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert scaled < bound, (k, scaled)
+    clc = np.asarray(d2["clc"])
+    assert (clc >= 0.0).all() and (clc <= 1.0).all()
+    assert (np.asarray(d2["fplsl"]) >= 0).all()
+    assert (np.asarray(d2["fplsn"]) >= 0).all()
