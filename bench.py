@@ -86,8 +86,10 @@ def fetch(x) -> float:
 
 
 def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
-    """Per-step seconds from the long/short chain difference (min over
-    repeats — robust to tunnel hiccups)."""
+    """Per-step seconds from the long/short chain difference (MEDIAN over
+    repeats).  min() is optimistically biased here: a tunnel hiccup during
+    the SHORT run shrinks the slope and inflates throughput — observed as a
+    spurious +45% on one AD sweep; the median is robust both ways."""
     fetch(chain(state, short_n, dt, c))
     fetch(chain(state, long_n, dt, c))
     per = []
@@ -99,7 +101,7 @@ def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
         fetch(chain(state, long_n, dt, c))
         t_long = time.perf_counter() - t0
         per.append((t_long - t_short) / (long_n - short_n))
-    return float(np.min(per))
+    return float(np.median(per))
 
 
 @partial(jax.jit, static_argnames=("n", "dt", "c"))

@@ -111,13 +111,14 @@ def main():
         long_ = make_chain(name, LONG)
         fetch(short(x0))
         fetch(long_(x0))
-        best = None
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter(); fetch(short(x0)); ts = time.perf_counter() - t0
             t0 = time.perf_counter(); fetch(long_(x0)); tl = time.perf_counter() - t0
             per = (tl - ts) / (LONG - SHORT) / REPS
-            best = per if best is None else min(best, per)
-        ns = best / nelem * 1e9
+            samples.append(per)
+        best_val = sorted(samples)[len(samples) // 2]  # median: min() is noise-biased
+        ns = best_val / nelem * 1e9
         if base is None:
             base = ns
         print(json.dumps({"variant": name, "ns_per_elem": round(ns, 5),

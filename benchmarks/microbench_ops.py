@@ -68,13 +68,14 @@ def main():
     for name in OPS:
         fetch(chain(x0, name, SHORT))
         fetch(chain(x0, name, LONG))
-        best = None
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter(); fetch(chain(x0, name, SHORT)); ts = time.perf_counter() - t0
             t0 = time.perf_counter(); fetch(chain(x0, name, LONG)); tl = time.perf_counter() - t0
             per = (tl - ts) / (LONG - SHORT) / REPS
-            best = per if best is None else min(best, per)
-        ns_per_elem = best / nelem * 1e9
+            samples.append(per)
+        best_val = sorted(samples)[len(samples)//2]
+        ns_per_elem = best_val / nelem * 1e9
         if base is None:
             base = ns_per_elem
         print(json.dumps({"op": name, "ns_per_elem": round(ns_per_elem, 5),

@@ -71,7 +71,7 @@ for kb, wb, unroll in VARIANTS:
         fetch(chain(state, SHORT, kb, wb, unroll))
         fetch(chain(state, LONG, kb, wb, unroll))
         compile_s = time.time() - t0
-        best = None
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fetch(chain(state, SHORT, kb, wb, unroll))
@@ -80,11 +80,12 @@ for kb, wb, unroll in VARIANTS:
             fetch(chain(state, LONG, kb, wb, unroll))
             tl = time.perf_counter() - t0
             per = (tl - ts) / (LONG - SHORT)
-            best = per if best is None else min(best, per)
+            samples.append(per)
+        best_val = sorted(samples)[len(samples) // 2]  # median: min() is noise-biased
         print(json.dumps({
             "kb": kb, "wb": wb, "unroll": unroll,
-            "per_step_ms": best * 1e3,
-            "cols_per_sec": NCOLS / best,
+            "per_step_ms": best_val * 1e3,
+            "cols_per_sec": NCOLS / best_val,
             "compile_s": compile_s,
         }), flush=True)
     except Exception as e:

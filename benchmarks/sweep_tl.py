@@ -44,13 +44,14 @@ for kb, wb in [(16, 256), (8, 512), (8, 256), (4, 512)]:
         t0 = time.time()
         fetch(chain(state, SHORT, kb, wb)); fetch(chain(state, LONG, kb, wb))
         compile_s = time.time() - t0
-        best = None
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter(); fetch(chain(state, SHORT, kb, wb)); ts = time.perf_counter() - t0
             t0 = time.perf_counter(); fetch(chain(state, LONG, kb, wb)); tl = time.perf_counter() - t0
             per = (tl - ts) / (LONG - SHORT)
-            best = per if best is None else min(best, per)
-        print(json.dumps({"kb": kb, "wb": wb, "per_step_ms": best*1e3,
-                          "cols_per_sec": NCOLS/best, "compile_s": compile_s}), flush=True)
+            samples.append(per)
+        best_val = sorted(samples)[len(samples) // 2]  # median: min() is noise-biased
+        print(json.dumps({"kb": kb, "wb": wb, "per_step_ms": best_val*1e3,
+                          "cols_per_sec": NCOLS/best_val, "compile_s": compile_s}), flush=True)
     except Exception as e:
         print(json.dumps({"kb": kb, "wb": wb, "error": str(e)[:160]}), flush=True)

@@ -72,7 +72,7 @@ SEED_NAMES = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb"))
+@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll"))
 def cloudsc2_ad_pallas(
     state: Dict[str, Array],
     dt: float,
@@ -80,6 +80,7 @@ def cloudsc2_ad_pallas(
     interpret: bool = False,
     kb: int | None = None,
     wb: int | None = None,
+    unroll: int = 1,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
@@ -109,7 +110,8 @@ def cloudsc2_ad_pallas(
     # tuning knob, not part of the numerics.
     fwd_wb = 512 if (wb < 512 and ncols % (8 * 512) == 0) else wb
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
-        state, dt, c, interpret=interpret, with_trajectory=True, kb=kb, wb=fwd_wb
+        state, dt, c, interpret=interpret, with_trajectory=True, kb=kb,
+        wb=fwd_wb, unroll=unroll,
     )
 
     # ---- reverse-kernel inputs ----
@@ -195,6 +197,11 @@ def cloudsc2_ad_pallas(
         kb=kb,
         wb=wb,
         reverse=True,
+        unroll=unroll,
+        # the reverse body is jax.vjp of the (exactly linear) TL — padded
+        # levels with zero-padded seeds contribute exactly zero to the
+        # carry cotangents (see level_scan_pallas docstring)
+        zero_pad_names=tuple("s_" + n for n in SEED_NAMES),
         interpret=interpret,
     )
     cot = {n: named["cot_" + n][:nlev] for n in XI_NAMES}

@@ -35,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
-def _pad_levels(x: Array, kp: int) -> Array:
-    return jnp.pad(x, ((0, kp - x.shape[0]),) + ((0, 0),) * (x.ndim - 1), mode="edge")
+def _pad_levels(x: Array, kp: int, zero: bool = False) -> Array:
+    pad = ((0, kp - x.shape[0]),) + ((0, 0),) * (x.ndim - 1)
+    return jnp.pad(x, pad) if zero else jnp.pad(x, pad, mode="edge")
 
 
 def level_scan_pallas(
@@ -52,6 +53,7 @@ def level_scan_pallas(
     reverse: bool = False,
     interpret: bool = False,
     unroll: int = 1,
+    zero_pad_names: Sequence[str] = (),
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -75,17 +77,23 @@ def level_scan_pallas(
     ``reverse=True`` sweeps levels bottom-up (the adjoint direction,
     reference ``computation(BACKWARD)``, ``adjoint/_stencils/cloudsc2.py:
     479-996``): the carry is zero-initialized at the *bottom* and level
-    blocks stream in reverse.  ``reverse`` requires the default rolled path
-    (``unroll == 1``): the unrolled variants edge-pad the level axis, which
-    would accumulate spurious padded-level cotangent-seed contributions
-    into the carry; the rolled path is unpadded (ragged edge block), so
-    seeds pass through exactly.
+    blocks stream in reverse.
+
+    ``zero_pad_names`` marks level inputs that are cotangent *seeds*: in
+    the padded layout (``unroll > 1``) they are zero-padded instead of
+    edge-padded.  ``reverse`` with ``unroll > 1`` requires every seed input
+    to be listed here AND a body that is linear in (carry, seeds) — then
+    the padded levels (swept first, from zero carry) contribute exactly
+    zero to the carry cotangents, while their edge-padded trajectory
+    inputs keep every linearization coefficient finite.  The rolled
+    default (``unroll == 1``) is unpadded (ragged edge block), so seeds
+    pass through exactly with no conditions.
     """
-    if reverse and unroll > 1:
+    if reverse and unroll > 1 and not zero_pad_names:
         raise ValueError(
-            "reverse=True requires unroll=1: the unrolled layout edge-pads "
-            "level inputs, which would feed padded cotangent seeds into the "
-            "reverse carry"
+            "reverse=True with unroll>1 requires zero_pad_names: the padded "
+            "layout would otherwise feed edge-padded cotangent seeds into "
+            "the reverse carry"
         )
     names = tuple(level_inputs)
     col_names = tuple(col_inputs)
@@ -198,9 +206,13 @@ def level_scan_pallas(
             + [col_inputs[n].reshape(8, w) for n in col_names]
         )
     else:
+        zset = frozenset(zero_pad_names)
+        unknown = zset - set(names)
+        if unknown:
+            raise ValueError(f"zero_pad_names not in level_inputs: {sorted(unknown)}")
         ins = (
             [_pad_levels(scalar_inputs[n].astype(dtype), kp).reshape(kp, 1) for n in scal_names]
-            + [_pad_levels(level_inputs[n], kp).reshape(kp, 8, w) for n in names]
+            + [_pad_levels(level_inputs[n], kp, zero=n in zset).reshape(kp, 8, w) for n in names]
             + [col_inputs[n].reshape(8, w) for n in col_names]
         )
     outs = pl.pallas_call(

@@ -39,7 +39,13 @@ Array = jnp.ndarray
 #: = 8 * WB); KB=16, WB=512 fits 26 double-buffered blocks in VMEM
 KB = 16
 WB = 512
-UNROLL = 1
+#: two levels per loop iteration (manual partial unroll, padded layout).
+#: Measured on v5e with the strength-reduced body (benchmarks/sweep_nl.py):
+#: unroll=2 beats the rolled ragged loop 15.9M vs 14.6M cols/s — the wider
+#: loop body gives Mosaic a block of mostly carry-independent work to
+#: software-pipeline; unroll=8 adds nothing further.  (Round 1 measured
+#: unroll as neutral; the divide strength reduction changed the balance.)
+UNROLL = 2
 
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_q", "tnd_ql", "tnd_qi", "clc", "covptot",

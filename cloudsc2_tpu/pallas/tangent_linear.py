@@ -10,8 +10,9 @@ harness; the per-level physics is
 ``lax.scan`` oracle path.
 
 Twice the field count of the NL kernel (33 level inputs, 16 outputs, carry
-of 6), so the VMEM budget forces a narrower column tile: ``WB = 256``
-(49 double-buffered (16, 8, 256) f32 blocks ≈ 13 MB).
+of 6), so the VMEM budget forces a shorter level block than the NL kernel
+(``KB = 8``: 49 double-buffered (8, 8, 512) f32 blocks ≈ 13 MB; wb=1024
+exceeds VMEM).
 """
 from __future__ import annotations
 
@@ -32,8 +33,12 @@ from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
 Array = jnp.ndarray
 
-KB = 8  # measured on v5e: kb=8/wb=256 edges out 16/256 (8.78M vs 8.67M cols/s)
-WB = 256
+#: measured on v5e (round 2, interleaved A/B): kb=8/wb=512/unroll=2 beats the
+#: round-1 default kb=8/wb=256 rolled by +10-14% (8.3-8.6M vs 7.5M cols/s);
+#: unroll=4 adds nothing, wb=1024 fails the Mosaic compile (VMEM)
+KB = 8
+WB = 512
+UNROLL = 2
 
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_t_i", "tnd_q", "tnd_q_i", "tnd_ql", "tnd_ql_i",
@@ -42,7 +47,7 @@ LEVEL_OUTPUTS = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb"))
+@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll"))
 def cloudsc2_tl_pallas(
     state: Dict[str, Array],
     dt: float,
@@ -50,6 +55,7 @@ def cloudsc2_tl_pallas(
     interpret: bool = False,
     kb: int | None = None,
     wb: int | None = None,
+    unroll: int | None = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.tangent_linear.
     cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns)."""
@@ -120,6 +126,7 @@ def cloudsc2_tl_pallas(
         ncarry=6,
         kb=KB if kb is None else kb,
         wb=WB if wb is None else wb,
+        unroll=UNROLL if unroll is None else unroll,
         interpret=interpret,
     )
 

@@ -58,11 +58,17 @@ def forward_step(
     state: Dict[str, Array], dt: float, c: Constants, impl: str = "auto"
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Saturation + nonlinear scheme (the reference hot loop,
-    ``drivers/run_nonlinear.py:115-119``).
+    ``drivers/run_nonlinear.py:115-119``).  ``diags["qsat"]`` carries the
+    Saturation component's output on the Pallas path.
 
-    On the Pallas path the saturation diagnostic is fused into the NL
-    kernel (one kernel launch, qsat never round-trips through HBM);
-    ``diags["qsat"]`` then carries the Saturation component's output.
+    The Pallas path computes saturation as an XLA op feeding the unrolled
+    NL kernel rather than fusing it into the kernel: measured on v5e
+    (benchmarks/sweep_nl.py history), XLA-saturation + unroll=2 kernel runs
+    15.9M cols/s vs 14.7M for the fused kernel — the in-kernel saturation
+    lengthens the level body's dependency chains by more than the qsat HBM
+    round trip costs.  (Round 1 measured the opposite on the pre-
+    strength-reduced body; ``fuse_saturation=True`` remains available on
+    :func:`cloudsc2_nl_pallas`.)
 
     A caller-provided ``state["eta"]`` is used as-is; eta is only derived
     here when missing.  This matters under ``shard_map``: eta is defined
@@ -74,15 +80,15 @@ def forward_step(
     s = dict(state)
     if "eta" not in s:
         s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
     if _use_pallas(s, impl):
         from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
-        return cloudsc2_nl_pallas(
-            s, dt, c,
-            interpret=impl == "pallas-interpret",
-            fuse_saturation=True,
+        tends, diags = cloudsc2_nl_pallas(
+            s, dt, c, interpret=impl == "pallas-interpret"
         )
-    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
+        diags["qsat"] = s["qsat"]
+        return tends, diags
     return _nl_impl(s, dt, c, impl)
 
 

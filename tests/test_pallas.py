@@ -47,16 +47,35 @@ def test_pallas_nl_matches_scan(f32_state):
         )
 
 
+@pytest.fixture(scope="module")
+def f32_state_small():
+    """Small problem (53 levels, 1024 columns) for loop-structure tests.
+
+    The unroll-vs-rolled comparisons only exercise the harness's level
+    blocking / carry handoff, which is nlev-agnostic; 53 levels keeps the
+    ragged edge block (53 % 8 and 53 % 16 are both nonzero) while cutting
+    interpret-mode cost ~10x vs the full 137-level, 4096-column state.
+    """
+    from cloudsc2_tpu import iox
+
+    c = make_constants(lphylin=True, ldrain1d=False)
+    _, state, dt = iox.synthesize_input(ncols=1024, nlev=53, seed=0, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in state.items()}
+    s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=True, c=c)
+    return s, dt, c
+
+
 @pytest.mark.parametrize("unroll", [4, 99])
-def test_pallas_nl_unrolled_matches_rolled_kernel(f32_state, unroll):
+def test_pallas_nl_unrolled_matches_rolled_kernel(f32_state_small, unroll):
     """The statically unrolled level loop (Mosaic software-pipelining
     variant) matches the rolled fori_loop kernel to within compiler-level
     rounding: the two loop structures compile separately, and XLA's
     fusion/FMA choices can differ by an ulp — anything beyond that is a
     carry-handoff bug."""
-    s, dt, c = f32_state
-    tends_ref, diags_ref = cloudsc2_nl_pallas(s, dt, c, interpret=True)
-    tends, diags = cloudsc2_nl_pallas(s, dt, c, interpret=True, unroll=unroll)
+    s, dt, c = f32_state_small
+    tends_ref, diags_ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128)
+    tends, diags = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
     for n in tends_ref:
         np.testing.assert_allclose(
             np.asarray(tends[n]), np.asarray(tends_ref[n]), rtol=1e-6, atol=1e-12, err_msg=n
@@ -209,3 +228,55 @@ def test_pallas_fast_div_modes(f32_state, mode, bound):
     assert (clc >= 0.0).all() and (clc <= 1.0).all()
     assert (np.asarray(d2["fplsl"]) >= 0).all()
     assert (np.asarray(d2["fplsn"]) >= 0).all()
+
+
+@pytest.mark.parametrize("unroll", [2, 8])
+def test_pallas_tl_unrolled_matches_rolled_kernel(f32_state_small, unroll):
+    """TL kernel: the padded/unrolled level loop matches the rolled ragged
+    one (forward padding is below the surface; outputs there are
+    discarded and the carry past the last real level is never read)."""
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.physics.increment import state_increment
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    t_ref, d_ref = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    t_u, d_u = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
+    # rtol 2e-5: the two loop structures compile separately and XLA's
+    # FMA/fusion choices differ; observed worst case ~6e-6 rel on
+    # accumulated fluxes
+    for ref, got in ((t_ref, t_u), (d_ref, d_u)):
+        for n in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[n]), np.asarray(ref[n]), rtol=2e-5, atol=1e-12, err_msg=n
+            )
+
+
+@pytest.mark.parametrize("unroll", [2, 8])
+def test_pallas_ad_unrolled_matches_rolled_kernel(f32_state_small, unroll):
+    """AD kernel: the unrolled REVERSE sweep — padded levels run first with
+    zero-padded cotangent seeds (levelscan ``zero_pad_names``), and the
+    vjp-of-linear-TL body guarantees they add exactly zero to the carry
+    cotangents — must reproduce the rolled ragged sweep."""
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tends_tl, diags_tl = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    for name in TEND_NAMES:
+        s["tnd_" + name] = tends_tl[name]
+        s["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s[name + "_i"] = diags_tl[name + "_i"]
+    t_ref, d_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    t_u, d_u = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
+    for ref, got in ((t_ref, t_u), (d_ref, d_u)):
+        for n in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[n]), np.asarray(ref[n]), rtol=2e-5, atol=1e-12, err_msg=n
+            )
