@@ -54,6 +54,7 @@ def level_scan_pallas(
     interpret: bool = False,
     unroll: int = 1,
     zero_pad_names: Sequence[str] = (),
+    pre_body: Callable | None = None,
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -63,6 +64,19 @@ def level_scan_pallas(
     the per-column dict ``col``, and returns ``(carry, outs)`` with
     ``outs`` keyed by ``out_names``.  Returns the stacked outputs as
     ``(nlev, ncols)`` arrays.
+
+    ``pre_body(xb, col)``, if given, runs ONCE per level block before the
+    sequential loop, on the whole block: ``xb`` holds the level inputs as
+    ``(kb, 8, wb)`` tensors and the scalar inputs as ``(kb, 1, 1)``
+    columns (broadcastable against the blocks); it returns a dict of
+    ``(kb, 8, wb)`` tensors whose per-level rows are merged into ``x``
+    for ``body``.  Use it to evaluate the carry-independent part of the
+    physics as bulk tensor ops (full VPU utilization, no loop-carried
+    dependency) so only the carry-dependent tail iterates.  Keys must not
+    collide with level-input names.  On a ragged edge block the rows past
+    the last real level hold unspecified values — ``pre_body`` must be
+    elementwise along the level axis so those rows stay inert (they are
+    never read by the loop nor stored).
 
     ``unroll >= kb`` replaces the in-block level loop with a fully static
     Python loop (static VMEM row indices), letting Mosaic software-pipeline
@@ -94,6 +108,12 @@ def level_scan_pallas(
             "reverse=True with unroll>1 requires zero_pad_names: the padded "
             "layout would otherwise feed edge-padded cotangent seeds into "
             "the reverse carry"
+        )
+    if pre_body is not None and unroll < kb:
+        raise ValueError(
+            "pre_body requires unroll >= kb (fully static level loop): the "
+            "block results are vector values, which cannot be dynamically "
+            "row-indexed by a traced fori_loop counter inside Mosaic"
         )
     names = tuple(level_inputs)
     col_names = tuple(col_inputs)
@@ -146,11 +166,35 @@ def level_scan_pallas(
         # rows of this block that exist in the (possibly ragged) array
         valid = jnp.minimum(kb, nlev - ar_kb * kb) if ragged else kb
 
+        if pre_body is not None:
+            xb = {n: r[...] for n, r in zip(names, level_refs)}
+            for n, r in zip(scal_names, scal_refs):
+                # (kb, 8, wb) broadcast of the block's per-level scalars —
+                # Mosaic has no tiny-vector shapes ((kb,1,1) reshape is an
+                # unsupported shape cast), so splat each SMEM scalar to a
+                # full row; clamped reads keep the ragged edge block in
+                # bounds (the extra rows are never consumed)
+                xb[n] = jnp.concatenate(
+                    [
+                        jnp.full((1, 8, wb), r[jnp.minimum(ar_kb * kb + i, nlev - 1), 0], dtype=dtype)
+                        for i in range(kb)
+                    ],
+                    axis=0,
+                )
+            preb = pre_body(xb, col)
+            clash = set(preb) & set(names)
+            if clash:
+                raise ValueError(f"pre_body keys shadow level inputs: {sorted(clash)}")
+        else:
+            preb = {}
+
         def step_at(row, carry):
             x = {n: r[row] for n, r in zip(names, level_refs)}
             g = ar_kb * kb + row
             for n, r in zip(scal_names, scal_refs):
                 x[n] = r[g, 0]
+            for n, v in preb.items():
+                x[n] = v[row]
             carry, outs = body(carry, x, col, g)
             for n, r in zip(out_names, out_refs):
                 r[row] = outs[n]

@@ -29,6 +29,8 @@ from cloudsc2_tpu.physics.nonlinear import (
     NLCarry,
     critical_rh_coeffs,
     nl_level,
+    nl_level_post,
+    nl_level_pre,
     scalm_profile,
     tropopause_eta,
 )
@@ -57,7 +59,7 @@ LEVEL_OUTPUTS = (
     jax.jit,
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
-        "fuse_saturation", "kflag",
+        "fuse_saturation", "kflag", "split",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -71,6 +73,7 @@ def cloudsc2_nl_pallas(
     unroll: int | None = None,
     fuse_saturation: bool = False,
     kflag: int = 1,
+    split: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -118,10 +121,7 @@ def cloudsc2_nl_pallas(
         level_inputs["qsat"] = state["qsat"]
         level_inputs["t_fg"] = t_fg
 
-    def body(carry, x, col, _g):
-        carry_in = carry
-        x = dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
-                 crh_rsq=col["crh_rsq"])
+    def _add_sat(x):
         if fuse_saturation:
             from cloudsc2_tpu.physics.saturation import saturation
 
@@ -134,9 +134,9 @@ def cloudsc2_nl_pallas(
                 x["ap"], x["t"], kflag=kflag, lphylin=c.LPHYLIN, c=c
             )
             x["t_fg"] = x["t"] + dt * x["tnd_cml_t"]
-        carry, outs, _aux = nl_level(
-            NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
-        )
+        return x
+
+    def _finish(outs, x, carry_in):
         outs["fhpsl"] = -outs["fplsl"] * c.RLVTT
         outs["fhpsn"] = -outs["fplsn"] * c.RLSTT
         if fuse_saturation:
@@ -147,13 +147,39 @@ def cloudsc2_nl_pallas(
             # materializes ~35 forward temporaries,
             # adjoint/_stencils/cloudsc2.py:133-476)
             outs["c_rfl"], outs["c_sfl"], outs["c_cov"] = carry_in
-        return tuple(carry), outs
+        return outs
+
+    def body(carry, x, col, _g):
+        carry_in = carry
+        x = _add_sat(dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+                          crh_rsq=col["crh_rsq"]))
+        carry, outs, _aux = nl_level(
+            NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
+        )
+        return tuple(carry), _finish(outs, x, carry_in)
+
+    def pre_block(xb, col):
+        """Phase A on a whole (kb, 8, wb) level block — bulk tensor ops."""
+        xb = _add_sat(dict(xb, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+                           crh_rsq=col["crh_rsq"]))
+        pre = nl_level_pre(xb, col["aph_s"], col["trpaus"], dt, c)
+        if fuse_saturation:
+            pre["qsat_blk"] = xb["qsat"]
+        return pre
+
+    def post_body(carry, x, col, _g):
+        carry_in = carry
+        if fuse_saturation:
+            x = dict(x, qsat=x["qsat_blk"])
+        carry, outs, _aux = nl_level_post(NLCarry(*carry), x, dt, c)
+        return tuple(carry), _finish(outs, x, carry_in)
 
     out_names = LEVEL_OUTPUTS + (("c_rfl", "c_sfl", "c_cov") if with_trajectory else ())
     if fuse_saturation:
         out_names = out_names + ("qsat",)
+    kb_ = KB if kb is None else kb
     named = level_scan_pallas(
-        body,
+        post_body if split else body,
         level_inputs=level_inputs,
         col_inputs=dict(
             zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
@@ -163,9 +189,12 @@ def cloudsc2_nl_pallas(
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=out_names,
         ncarry=3,
-        kb=KB if kb is None else kb,
+        kb=kb_,
         wb=WB if wb is None else wb,
-        unroll=UNROLL if unroll is None else unroll,
+        # split mode: phase A runs block-vectorized, so the remaining
+        # (small) phase-B tail is fully unrolled — required by pre_body
+        unroll=kb_ if split else (UNROLL if unroll is None else unroll),
+        pre_body=pre_block if split else None,
         interpret=interpret,
     )
 

@@ -114,45 +114,48 @@ def critical_rh(
     )
 
 
-def nl_level(
-    carry: NLCarry,
+def nl_level_pre(
     x: Dict[str, Array],
     aph_s: Array,
     trpaus: Array,
     dt: float,
     c: Constants,
-) -> Tuple[NLCarry, Dict[str, Array], Dict[str, Array]]:
-    """One vertical level of the nonlinear scheme.
+) -> Dict[str, Any]:
+    """Carry-independent portion of one vertical level (phase A).
 
-    ``x`` holds the per-level slices: ``ap, aph0, aph1, lu_next, lude, mfd,
-    mfu, q, qi, ql, qsat, supsat, t_fg, tnd_cml_q, tnd_cml_qi, tnd_cml_ql``
-    plus the per-level scalars ``eta`` and ``scalm``.
+    Everything in the reference level body that does not read the
+    ``(rfl, sfl, covptot)`` recurrence: first guess, thermodynamic
+    coefficients, dqs/dT, critical humidity, Letreut--Li cloud cover,
+    detrainment, compensating subsidence, condensation rates, the melt
+    constants, and the carry-free half of the autoconversion
+    (reference ``cloudsc2.py:102-230, 237-241, 248-263``).
 
-    Returns ``(carry_out, outs, aux)``; ``aux`` carries every intermediate
-    the hand-written adjoint needs for its reverse sweep.
+    Operates on arrays of any shape: the Pallas kernel calls it ONCE per
+    ``(kb, 8, wb)`` level block (bulk tensors, no level loop) and only the
+    small carry-dependent tail (:func:`nl_level_post`) runs per level.
+    Keys that would shadow a raw level input are suffixed (``lude_s``,
+    ``ql_fg``, ``qi_fg``, ``qsat_sups``) so the dict can be merged into
+    ``x`` for :func:`nl_level_post`.
     """
-    rfl, sfl, covptot = carry
     fd = c.FAST_DIV
     ap = x["ap"]
     # the fused Pallas path precomputes 1/ap once and shares it with the
     # in-kernel saturation diagnostic
     rap = x["rap"] if "rap" in x else rcp(ap, fd)
     qsat_in = x["qsat"]
-    aux: Dict[str, Array] = {}
+    pre: Dict[str, Any] = {"rap": rap}
 
     # first-guess state (reference :102-104, :113-117)
     t = x["t_fg"]
     q = x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
     ql = x["ql"] + dt * x["tnd_cml_ql"]
     qi = x["qi"] + dt * x["tnd_cml_qi"]
-    aux["t2"], aux["q2"], aux["ql"], aux["qi"] = t, q, ql, qi
+    pre.update(t2=t, q2=q, ql_fg=ql, qi_fg=qi)
 
     # constants (reference :119-127)
     ckcodtl = 2.0 * c.RKCONV * dt
-    ckcodti = 5.0 * c.RKCONV * dt
     cons2 = 1.0 / (c.RG * dt)
     cons3 = c.RLVTT / c.RCPD
-    meltp2 = c.RTT + 2.0
     scalm = x["scalm"]
 
     # thermodynamic coefficients (reference :129-134); one reciprocal of the
@@ -163,7 +166,7 @@ def nl_level(
     lfdcp = c.RLMLT * rzz
     lsdcp = c.RLSTT * rzz
     lvdcp = c.RLVTT * rzz
-    aux.update(dp=dp, zz=zz, lfdcp=lfdcp, lsdcp=lsdcp, lvdcp=lvdcp)
+    pre.update(dp=dp, zz=zz, lfdcp=lfdcp, lsdcp=lsdcp, lvdcp=lvdcp)
 
     # dqs/dT correction factor (reference :140-160); LPHYLIN/LDRAIN1D static.
     # One reciprocal each of (t - R4LES) and (t - R4IES) serves the
@@ -201,14 +204,14 @@ def nl_level(
         cor = cor_unclipped
     dqsdtemp = fac * cor * qsat_in
     corqs = 1.0 + cons3 * dqsdtemp
-    aux.update(
+    pre.update(
         fwat=fwat, foeew=foeew, esdp1=esdp1, esdp=esdp, facw=facw, faci=faci,
         fac=fac, cor=cor, dqsdtemp=dqsdtemp, corqs=corqs,
     )
 
     # clipped state (reference :163)
     qlim = jnp.minimum(q, qsat_in)
-    aux["qlim"] = qlim
+    pre["qlim"] = qlim
 
     # critical humidity and ice supersaturation (reference :166-193);
     # per-column coefficients may arrive precomputed (Pallas path hoists
@@ -220,7 +223,7 @@ def nl_level(
     supsat_fac = jnp.where(t < c.RTICE, 1.8 - 0.003 * t, 1.0)
     qsat = qsat_in * supsat_fac
     qcrit = crh2 * qsat
-    aux.update(crh2=crh2, supsat_fac=supsat_fac, qsat=qsat, qcrit=qcrit)
+    pre.update(crh2=crh2, supsat_fac=supsat_fac, qsat_sups=qsat, qcrit=qcrit)
 
     # Letreut & Li (1990) uniform-distribution cloud cover (reference :195-207)
     qt = q + ql + qi
@@ -241,7 +244,7 @@ def nl_level(
     qc_mid = (scalm * qpd + (1.0 - scalm) * qcd) * clc_mid**2.0
     clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
     qc = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat - qcrit), qc_mid))
-    aux.update(
+    pre.update(
         qt=qt, low=low, high=high, mid=mid, qpd=qpd, qcd=qcd,
         denom_safe=denom_safe, tmp3=tmp3, clc1=clc, qc1=qc,
     )
@@ -255,7 +258,7 @@ def nl_level(
     tmp2 = jnp.exp(div(-lude, lu1_safe, fd))
     clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
     qc = jnp.where(lo1, qc + lude, qc)
-    aux.update(gdp=gdp, lude=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
+    pre.update(gdp=gdp, lude_s=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
 
     # compensating subsidence (reference :217-224); fac4 = 1/rho = RD*t/ap
     # computed without a third divide; fac2 was already formed for cor above
@@ -271,7 +274,7 @@ def nl_level(
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
     qc = qc - dqc
-    aux.update(
+    pre.update(
         fac1=fac1, rho=rho, fac2=fac2, rodqsdp=rodqsdp, ldcp=ldcp, fac3=fac3,
         dtdzmo=dtdzmo, dqsdz=dqsdz, fac4=fac4, lo3=lo3, dqc=dqc, qc3=qc,
     )
@@ -282,29 +285,22 @@ def nl_level(
     rdt = 1.0 / dt  # dt is static: the reciprocal is a compile-time constant
     condl = (qlwc - ql) * rdt
     condi = (qiwc - qi) * rdt
-    aux.update(qlwc1=qlwc, qiwc1=qiwc, condl1=condl, condi1=condi)
+    pre.update(qlwc1=qlwc, qiwc1=qiwc, condl1=condl, condi1=condi)
 
-    # maximum precipitation overlap (reference :232-235)
-    covptot_in = covptot
-    covptot = jnp.maximum(covptot_in, clc)
-    covpclr1 = covptot - clc
-    covpclr = jnp.maximum(covpclr1, 0.0)
-    aux.update(covptot_in=covptot_in, covptot1=covptot, covpclr1=covpclr1, covpclr=covpclr)
-
-    # melting of incoming snow (reference :237-246).  Both divides fold into
-    # multiplies: cons = cons2*dp/lfdcp = (cons2/RLMLT)*dp*zz (lfdcp is
-    # RLMLT/zz), and 1/cons = dt*gdp*lfdcp (cons2 = 1/(RG*dt), gdp = RG/dp)
-    melt = sfl != 0.0
+    # melt constants (reference :237-241; the min() against the snow-flux
+    # carry stays in phase B).  Both divides fold into multiplies:
+    # cons = cons2*dp/lfdcp = (cons2/RLMLT)*dp*zz (lfdcp is RLMLT/zz), and
+    # 1/cons = dt*gdp*lfdcp (cons2 = 1/(RG*dt), gdp = RG/dp)
+    meltp2 = c.RTT + 2.0
     cons = (cons2 / c.RLMLT) * dp * zz
     rcons = dt * gdp * lfdcp
     z2s = cons * jnp.maximum(t - meltp2, 0.0)
-    snmlt = jnp.minimum(sfl, z2s)
-    rfln = jnp.where(melt, rfl + snmlt, rfl)
-    sfln = jnp.where(melt, sfl - snmlt, sfl)
-    t = jnp.where(melt, t - snmlt * rcons, t)
-    aux.update(melt=melt, cons=cons, z2s=z2s, snmlt=snmlt, t_melt=t)
+    pre.update(cons=cons, rcons=rcons, z2s=z2s)
 
-    # rain / snow autoconversion (reference :248-272)
+    # carry-free half of the rain / snow autoconversion (reference
+    # :248-263): the liquid species does not see the melt-adjusted
+    # temperature at all, and the ice species' cloud water and first
+    # exponential do not either
     act = clc > c.ZEPS2
     if c.LEVAPLS2 or c.LDRAIN1D:
         lcrit = 1.9 * c.RCLCRIT
@@ -327,20 +323,78 @@ def nl_level(
     # every divide strategy
     prr = jnp.where(act, jnp.maximum(qlwc - qlnew, 0.0), 0.0)
     qlwc = qlwc - prr
-
     cldi = qiwc * rclc
     itmp11 = jnp.exp(-(cldi * cldi * (1.0 / (icrit * icrit))))
+    pre.update(
+        act=act, clc_safe=clc_safe, cldl=cldl, ltmp1=ltmp1, ltmp2=ltmp2,
+        cldi=cldi, itmp11=itmp11, qlwc=qlwc, prr=prr,
+    )
+
+    # liquid-water tendency: fully determined by phase A (reference :376)
+    pre["tnd_ql"] = (qlwc - ql) * rdt
+
+    if c.LEVAPLS2 or c.LDRAIN1D:
+        # carry-free factors of the precipitation evaporation (reference
+        # :295, :305)
+        pre["sqr"] = jnp.sqrt(div(ap, aph_s, fd))
+        pre["dtgdp"] = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
+    return pre
+
+
+def nl_level_post(
+    carry: NLCarry, xp: Dict[str, Array], dt: float, c: Constants
+) -> Tuple[NLCarry, Dict[str, Array], Dict[str, Array]]:
+    """Carry-dependent tail of one vertical level (phase B).
+
+    ``xp`` holds the raw level inputs of :func:`nl_level` merged with the
+    :func:`nl_level_pre` values.  Covers maximum precipitation overlap,
+    snow melt, the melt-temperature half of the autoconversion, the
+    precipitation-evaporation branch, tendency assembly and the
+    saturation-adjustment clipping (reference ``cloudsc2.py:232-246,
+    264-399``).
+    """
+    rfl, sfl, covptot = carry
+    fd = c.FAST_DIV
+    cons2 = 1.0 / (c.RG * dt)
+    ckcodti = 5.0 * c.RKCONV * dt
+    rdt = 1.0 / dt
+    aux: Dict[str, Array] = {}
+
+    t = xp["t2"]
+    clc = xp["clc"]
+    gdp = xp["gdp"]
+    dp = xp["dp"]
+    fwat = xp["fwat"]
+    lvdcp, lsdcp = xp["lvdcp"], xp["lsdcp"]
+    condl, condi = xp["condl1"], xp["condi1"]
+    qlwc = xp["qlwc"]
+    qiwc = xp["qiwc1"]
+    prr = xp["prr"]
+    act = xp["act"]
+
+    # maximum precipitation overlap (reference :232-235)
+    covptot_in = covptot
+    covptot = jnp.maximum(covptot_in, clc)
+    covpclr1 = covptot - clc
+    covpclr = jnp.maximum(covpclr1, 0.0)
+    aux.update(covptot_in=covptot_in, covptot1=covptot, covpclr1=covpclr1, covpclr=covpclr)
+
+    # melting of incoming snow (reference :237-246)
+    melt = sfl != 0.0
+    snmlt = jnp.minimum(sfl, xp["z2s"])
+    rfln = jnp.where(melt, rfl + snmlt, rfl)
+    sfln = jnp.where(melt, sfl - snmlt, sfl)
+    t = jnp.where(melt, t - snmlt * xp["rcons"], t)
+    aux.update(melt=melt, snmlt=snmlt, t_melt=t)
+
+    # melt-temperature half of the snow autoconversion (reference :264-272)
     itmp12 = jnp.exp(0.025 * (t - c.RTT))
-    di = ckcodti * itmp12 * (1.0 - itmp11)
+    di = ckcodti * itmp12 * (1.0 - xp["itmp11"])
     itmp2 = jnp.exp(-di)
-    qinew = clc * cldi * itmp2
+    qinew = clc * xp["cldi"] * itmp2
     prs = jnp.where(act, jnp.maximum(qiwc - qinew, 0.0), 0.0)
     qiwc = qiwc - prs
-    aux.update(
-        act=act, clc_safe=clc_safe, cldl=cldl, ltmp1=ltmp1, ltmp2=ltmp2,
-        cldi=cldi, itmp11=itmp11, itmp12=itmp12, itmp2=itmp2,
-        qlwc=qlwc, qiwc=qiwc, prr=prr, prs=prs,
-    )
+    aux.update(itmp12=itmp12, itmp2=itmp2, qiwc=qiwc, prs=prs)
 
     # new precipitation and rain fraction (reference :274-285)
     dr1 = cons2 * dp * (prr + prs)
@@ -355,18 +409,19 @@ def nl_level(
     # in the default configuration, exactly as with GT4Py externals
     prtot = rfln + sfln
     aux["prtot"] = prtot
+    qsat_in = xp["qsat"]
     if c.LEVAPLS2 or c.LDRAIN1D:
         eact = (prtot > c.ZEPS2) & (covpclr > c.ZEPS2)
         covptot_safe = jnp.where(eact, covptot, 1.0)
         covpclr_safe = jnp.where(eact, covpclr, 1.0)
         preclr1 = div(prtot * covpclr, covptot_safe, fd)
         clcc = jnp.where(eact, 1.0 - clc, 1.0)
-        qe = qsat_in - div((qsat_in - qlim) * covpclr, clcc**2.0, fd)
-        sqr = jnp.sqrt(div(ap, aph_s, fd))
+        qe = qsat_in - div((qsat_in - xp["qlim"]) * covpclr, clcc**2.0, fd)
+        sqr = xp["sqr"]
         barg = jnp.where(eact, div(sqr / 0.00509 * preclr1, covpclr_safe, fd), 1.0)
         beta = c.RG * c.RPECONS * barg**0.5777
-        b = div(dt * beta * (qsat_in - qe), 1.0 + dt * beta * corqs, fd)
-        dtgdp = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
+        b = div(dt * beta * (qsat_in - qe), 1.0 + dt * beta * xp["corqs"], fd)
+        dtgdp = xp["dtgdp"]
         dpr1 = div(covpclr * b, dtgdp, fd)
         dpr = jnp.where(eact, jnp.minimum(dpr1, preclr1), 0.0)
         preclr = preclr1 - dpr
@@ -391,21 +446,21 @@ def nl_level(
     aux.update(evapr=evapr, evaps=evaps, covptot_out=covptot_out, covptot=covptot)
 
     # T / q tendency update and first guess (reference :323-344)
-    dqdt = -(condl + condi) + (x["lude"] + evapr + evaps) * gdp
+    dqdt = -(condl + condi) + (xp["lude"] + evapr + evaps) * gdp
     tmp7 = (
         lvdcp * evapr
         + lsdcp * evaps
-        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        + xp["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
         - (lsdcp - lvdcp) * rfreeze
     )
     dtdt = lvdcp * condl + lsdcp * condi - tmp7 * gdp
     t3 = t + dt * dtdt
-    q = q + dt * dqdt
+    q = xp["q2"] + dt * dqdt
     qold1 = q
     aux.update(dqdt=dqdt, dtdt=dtdt, t3=t3, qold1=qold1)
 
     # saturation-adjustment clipping (reference :347)
-    t, q = cuadjtqs_nl(ap, t3, q, c, rap=rap)
+    t, q = cuadjtqs_nl(xp["ap"], t3, q, c, rap=xp["rap"])
     aux.update(t_adj=t, q_adj=q)
 
     # post-clipping rain fraction and freezing (reference :349-364).
@@ -431,21 +486,20 @@ def nl_level(
     )
 
     # output tendencies (reference :366-380)
-    tnd_q = -(condl2 + condi2) + (x["lude"] + evapr + evaps) * gdp
+    tnd_q = -(condl2 + condi2) + (xp["lude"] + evapr + evaps) * gdp
     tmp8 = (
         lvdcp * evapr
         + lsdcp * evaps
-        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        + xp["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
         - (lsdcp - lvdcp) * rfreeze3
     )
     tnd_t = lvdcp * condl2 + lsdcp * condi2 - tmp8 * gdp
-    tnd_ql = (qlwc - ql) * rdt
-    tnd_qi = (qiwc - qi) * rdt
+    tnd_qi = (qiwc - xp["qi_fg"]) * rdt
 
     outs = {
         "tnd_t": tnd_t,
         "tnd_q": tnd_q,
-        "tnd_ql": tnd_ql,
+        "tnd_ql": xp["tnd_ql"],
         "tnd_qi": tnd_qi,
         "clc": clc,
         "covptot": covptot_out,
@@ -453,6 +507,34 @@ def nl_level(
         "fplsn": sfln,
     }
     return NLCarry(rfln, sfln, covptot), outs, aux
+
+
+def nl_level(
+    carry: NLCarry,
+    x: Dict[str, Array],
+    aph_s: Array,
+    trpaus: Array,
+    dt: float,
+    c: Constants,
+) -> Tuple[NLCarry, Dict[str, Array], Dict[str, Array]]:
+    """One vertical level of the nonlinear scheme.
+
+    ``x`` holds the per-level slices: ``ap, aph0, aph1, lu_next, lude, mfd,
+    mfu, q, qi, ql, qsat, supsat, t_fg, tnd_cml_q, tnd_cml_qi, tnd_cml_ql``
+    plus the per-level scalars ``eta`` and ``scalm``.
+
+    Composed from the carry-independent :func:`nl_level_pre` (phase A) and
+    the carry-dependent :func:`nl_level_post` (phase B) — a pure statement
+    reordering of the reference level body, split so the Pallas kernel can
+    evaluate phase A block-vectorized over all levels of a block while only
+    phase B runs in the sequential level loop.
+
+    Returns ``(carry_out, outs, aux)``; ``aux`` carries every intermediate
+    of both phases (debugging / oracle comparisons).
+    """
+    pre = nl_level_pre(x, aph_s, trpaus, dt, c)
+    carry, outs, aux_b = nl_level_post(carry, {**x, **pre}, dt, c)
+    return carry, outs, {**pre, **aux_b}
 
 
 def prepare_level_inputs(state: Dict[str, Array], dt: float, c: Constants) -> Dict[str, Array]:

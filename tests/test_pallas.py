@@ -86,6 +86,33 @@ def test_pallas_nl_unrolled_matches_rolled_kernel(f32_state_small, unroll):
         )
 
 
+def test_pallas_nl_split_matches_plain_kernel(f32_state_small):
+    """split=True evaluates the carry-independent phase A block-vectorized
+    (levelscan ``pre_body``) with the phase-B tail fully unrolled; it must
+    match the plain per-level kernel to compiler-level rounding (the two
+    loop structures compile separately, so FMA/fusion choices may differ
+    by an ulp).  Measured on v5e: neutral at the NL's kb=16 default but
+    +8% at kb=8 — the shape that matters for the VMEM-bound TL/AD."""
+    s, dt, c = f32_state_small
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128)
+    got = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, split=True)
+    for r, g in zip(ref, got):
+        for n in r:
+            np.testing.assert_allclose(
+                np.asarray(g[n]), np.asarray(r[n]), rtol=2e-5, atol=1e-6, err_msg=n
+            )
+    # trajectory variant (the AD forward sweep)
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, with_trajectory=True)
+    got = cloudsc2_nl_pallas(
+        s, dt, c, interpret=True, wb=128, with_trajectory=True, split=True
+    )
+    for r, g in zip(ref, got):
+        for n in r:
+            np.testing.assert_allclose(
+                np.asarray(g[n]), np.asarray(r[n]), rtol=2e-5, atol=1e-6, err_msg=n
+            )
+
+
 def test_pallas_nl_fused_saturation(f32_state):
     """fuse_saturation=True computes qsat + first-guess T in-kernel and
     matches the separate Saturation -> NL pipeline (the reference hot loop,
