@@ -29,7 +29,12 @@ from cloudsc2_tpu.physics.nonlinear import (
     scalm_profile,
     tropopause_eta,
 )
-from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
+from cloudsc2_tpu.physics.tangent_linear import (
+    TLCarry,
+    tl_level,
+    tl_level_post,
+    tl_level_pre,
+)
 
 Array = jnp.ndarray
 
@@ -47,7 +52,7 @@ LEVEL_OUTPUTS = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll"))
+@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll", "split"))
 def cloudsc2_tl_pallas(
     state: Dict[str, Array],
     dt: float,
@@ -56,9 +61,16 @@ def cloudsc2_tl_pallas(
     kb: int | None = None,
     wb: int | None = None,
     unroll: int | None = None,
+    split: bool = False,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.tangent_linear.
-    cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns)."""
+    cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns).
+
+    ``split=True`` evaluates the carry-independent phase A
+    (:func:`tl_level_pre`) block-vectorized over each level block via the
+    harness's ``pre_body`` and fully unrolls the remaining carry-dependent
+    tail (see the NL kernel's measured rationale in
+    ``benchmarks/README.md``)."""
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
 
@@ -112,8 +124,21 @@ def cloudsc2_tl_pallas(
         )
         return tuple(carry), outs
 
+    def pre_block(xb, col):
+        """Phase A on a whole (kb, 8, wb) level block — bulk tensor ops."""
+        xb = dict(xb, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+                  crh_rsq=col["crh_rsq"])
+        return tl_level_pre(xb, col["aph_s"], col["trpaus"], dt, c)
+
+    def post_body(carry, x, col, _g):
+        carry, outs = tl_level_post(
+            TLCarry(*carry), x, col["aph_s"], col["aph_s_i"], dt, c
+        )
+        return tuple(carry), outs
+
+    kb_ = KB if kb is None else kb
     named = level_scan_pallas(
-        body,
+        post_body if split else body,
         level_inputs=level_inputs,
         col_inputs=dict(
             zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
@@ -124,9 +149,10 @@ def cloudsc2_tl_pallas(
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=LEVEL_OUTPUTS,
         ncarry=6,
-        kb=KB if kb is None else kb,
+        kb=kb_,
         wb=WB if wb is None else wb,
-        unroll=UNROLL if unroll is None else unroll,
+        unroll=kb_ if split else (UNROLL if unroll is None else unroll),
+        pre_body=pre_block if split else None,
         interpret=interpret,
     )
 

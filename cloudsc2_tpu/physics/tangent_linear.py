@@ -51,17 +51,26 @@ class TLCarry(NamedTuple):
     covptot_i: Array
 
 
-def tl_level(
-    carry: TLCarry,
+def tl_level_pre(
     x: Dict[str, Array],
     aph_s: Array,
-    aph_s_i: Array,
     trpaus: Array,
     dt: float,
     c: Constants,
-) -> Tuple[TLCarry, Dict[str, Array]]:
-    """One vertical level of the tangent-linear scheme (reference :149-753)."""
-    rfl, sfl, covptot, rfl_i, sfl_i, covptot_i = carry
+) -> Dict[str, Array]:
+    """Carry-independent portion of one TL level (phase A).
+
+    The tangent-linear counterpart of :func:`cloudsc2_tpu.physics.
+    nonlinear.nl_level_pre`: everything up to (and excluding) the
+    precipitation-overlap / snow-melt recurrence, plus the melt constants,
+    the liquid autoconversion and the melt-free half of the ice
+    autoconversion (reference ``tangent_linear/_stencils/cloudsc2.py:
+    137-386, 399-412, 429-471``).  All three in-loop LREGCL switches live
+    here.  Shape-polymorphic along the level axis so the Pallas kernel can
+    evaluate whole ``(kb, 8, wb)`` blocks at once.  Keys that would shadow
+    a raw level input are suffixed (``lude_s``, ``ql_fg``, ``qi_fg``,
+    ``qsat_sups``).
+    """
     fd = c.FAST_DIV
     ap = x["ap"]
     ap_i = x["ap_i"]
@@ -265,32 +274,14 @@ def tl_level(
     condi = (qiwc - qi) * rdt
     condi_i = (qiwc_i - qi_i) * rdt
 
-    # maximum precipitation overlap (reference :388-397)
-    grow = clc > covptot
-    covptot = jnp.where(grow, clc, covptot)
-    covptot_i = jnp.where(grow, clc_i, covptot_i)
-    covpclr = covptot - clc
-    covpclr_i = covptot_i - clc_i
-    neg = covpclr < 0.0
-    covpclr = jnp.where(neg, 0.0, covpclr)
-    covpclr_i = jnp.where(neg, 0.0, covpclr_i)
 
-    # melting of incoming snow (reference :399-427)
-    melt = sfl != 0.0
+    # melt constants (reference :399-412; the min() against the snow-flux
+    # carry stays in phase B)
     cons = div(cons2 * dp, lfdcp, fd)
     cons_i = div(cons2 * (dp_i * lfdcp - dp * lfdcp_i), lfdcp**2.0, fd)
     warm = t > meltp2
     z2s = jnp.where(warm, cons * (t - meltp2), 0.0)
     z2s_i = jnp.where(warm, cons_i * (t - meltp2) + cons * t_i, 0.0)
-    take_sfl = sfl <= z2s
-    snmlt = jnp.where(take_sfl, sfl, z2s)
-    snmlt_i = jnp.where(take_sfl, sfl_i, z2s_i)
-    rfln = jnp.where(melt, rfl + snmlt, rfl)
-    rfln_i = jnp.where(melt, rfl_i + snmlt_i, rfl_i)
-    sfln = jnp.where(melt, sfl - snmlt, sfl)
-    sfln_i = jnp.where(melt, sfl_i - snmlt_i, sfl_i)
-    t_i = jnp.where(melt, t_i - div(snmlt_i * cons - snmlt * cons_i, cons**2.0, fd), t_i)
-    t = jnp.where(melt, t - div(snmlt, cons, fd), t)
 
     # autoconversion of cloud water/ice (reference :429-503)
     act = clc > c.ZEPS2
@@ -319,6 +310,98 @@ def tl_level(
     cldi = div(qiwc, clc_safe, fd)
     cldi_i = div(qiwc_i, clc_safe, fd) - div(qiwc * clc_i, clc_safe**2.0, fd)
     itmp41 = jnp.exp(-((cldi * (1.0 / icrit)) ** 2.0))
+
+    pre = dict(
+        t2=t, t2_i=t_i, q2=q, q2_i=q_i, ql_fg=ql, ql_fg_i=ql_i,
+        qi_fg=qi, qi_fg_i=qi_i, dp=dp, dp_i=dp_i, gdp=gdp, gdp_i=gdp_i,
+        lvdcp=lvdcp, lvdcp_i=lvdcp_i, lsdcp=lsdcp, lsdcp_i=lsdcp_i,
+        fwat=fwat, fwat_i=fwat_i, clc=clc, clc_i=clc_i,
+        condl1=condl, condl1_i=condl_i, condi1=condi, condi1_i=condi_i,
+        qiwc1=qiwc, qiwc1_i=qiwc_i, prr=prr, prr_i=prr_i,
+        cldi=cldi, cldi_i=cldi_i, itmp41=itmp41, act=act,
+        cons=cons, cons_i=cons_i, z2s=z2s, z2s_i=z2s_i,
+        lude_s=lude, lude_s_i=lude_i, qsat_sups=qsat, qsat_sups_i=qsat_i,
+        tnd_ql=(qlwc - ql) * rdt, tnd_ql_i=(qlwc_i - ql_i) * rdt,
+    )
+    if c.LEVAPLS2 or c.LDRAIN1D:
+        # carry-free factors of the precipitation evaporation
+        # (reference :547, :584-588)
+        pre["qlim"] = qlim
+        pre["qlim_i"] = qlim_i
+        pre["corqs"] = corqs
+        pre["corqs_i"] = corqs_i
+        pre["tmp6"] = jnp.sqrt(div(ap, aph_s, fd))
+        pre["dtgdp"] = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
+        pre["dtgdp_i"] = div(-dt * c.RG * (x["aph1_i"] - x["aph0_i"]), (x["aph1"] - x["aph0"]) ** 2.0, fd)
+    return pre
+
+
+def tl_level_post(
+    carry: TLCarry,
+    xp: Dict[str, Array],
+    aph_s: Array,
+    aph_s_i: Array,
+    dt: float,
+    c: Constants,
+) -> Tuple[TLCarry, Dict[str, Array]]:
+    """Carry-dependent tail of one TL level (phase B).
+
+    ``xp`` holds the raw level inputs merged with the
+    :func:`tl_level_pre` values.  Covers maximum precipitation overlap,
+    snow melt, the melt-temperature half of the ice autoconversion, rain
+    fraction, the precipitation-evaporation branch, tendency assembly and
+    the final clipping (reference ``tangent_linear/_stencils/cloudsc2.py:
+    388-397, 413-427, 472-753``).
+    """
+    rfl, sfl, covptot, rfl_i, sfl_i, covptot_i = carry
+    fd = c.FAST_DIV
+    ckcodti = 5.0 * c.RKCONV * dt
+    ckcodtia = ckcodti / 100.0
+    cons2 = 1.0 / (c.RG * dt)
+    rdt = 1.0 / dt
+    icrit = 0.0001 if (c.LEVAPLS2 or c.LDRAIN1D) else 2.0 * c.RCLCRIT
+    ap, ap_i = xp["ap"], xp["ap_i"]
+    qsat_in, qsat_in_i = xp["qsat"], xp["qsat_i"]
+    t, t_i = xp["t2"], xp["t2_i"]
+    q, q_i = xp["q2"], xp["q2_i"]
+    qi, qi_i = xp["qi_fg"], xp["qi_fg_i"]
+    dp, dp_i = xp["dp"], xp["dp_i"]
+    gdp, gdp_i = xp["gdp"], xp["gdp_i"]
+    lvdcp, lvdcp_i = xp["lvdcp"], xp["lvdcp_i"]
+    lsdcp, lsdcp_i = xp["lsdcp"], xp["lsdcp_i"]
+    fwat, fwat_i = xp["fwat"], xp["fwat_i"]
+    clc, clc_i = xp["clc"], xp["clc_i"]
+    condl, condl_i = xp["condl1"], xp["condl1_i"]
+    condi, condi_i = xp["condi1"], xp["condi1_i"]
+    qiwc, qiwc_i = xp["qiwc1"], xp["qiwc1_i"]
+    prr, prr_i = xp["prr"], xp["prr_i"]
+    cldi, cldi_i = xp["cldi"], xp["cldi_i"]
+    itmp41, act = xp["itmp41"], xp["act"]
+    cons, cons_i = xp["cons"], xp["cons_i"]
+    z2s, z2s_i = xp["z2s"], xp["z2s_i"]
+    # maximum precipitation overlap (reference :388-397)
+    grow = clc > covptot
+    covptot = jnp.where(grow, clc, covptot)
+    covptot_i = jnp.where(grow, clc_i, covptot_i)
+    covpclr = covptot - clc
+    covpclr_i = covptot_i - clc_i
+    neg = covpclr < 0.0
+    covpclr = jnp.where(neg, 0.0, covpclr)
+    covpclr_i = jnp.where(neg, 0.0, covpclr_i)
+
+    # melting of incoming snow (reference :399-427)
+    melt = sfl != 0.0
+    take_sfl = sfl <= z2s
+    snmlt = jnp.where(take_sfl, sfl, z2s)
+    snmlt_i = jnp.where(take_sfl, sfl_i, z2s_i)
+    rfln = jnp.where(melt, rfl + snmlt, rfl)
+    rfln_i = jnp.where(melt, rfl_i + snmlt_i, rfl_i)
+    sfln = jnp.where(melt, sfl - snmlt, sfl)
+    sfln_i = jnp.where(melt, sfl_i - snmlt_i, sfl_i)
+    t_i = jnp.where(melt, t_i - div(snmlt_i * cons - snmlt * cons_i, cons**2.0, fd), t_i)
+    t = jnp.where(melt, t - div(snmlt, cons, fd), t)
+
+    # melt-temperature half of the ice autoconversion (reference :472-503)
     itmp42 = jnp.exp(0.025 * (t - c.RTT))
     di = ckcodti * itmp42 * (1.0 - itmp41)
     itmp5 = jnp.exp(-di)
@@ -360,6 +443,8 @@ def tl_level(
             - div(prtot * covpclr * covptot_i, covptot_safe**2.0, fd)
         )
         clcc = jnp.where(eact, 1.0 - clc, 1.0)
+        qlim, qlim_i = xp["qlim"], xp["qlim_i"]
+        corqs, corqs_i = xp["corqs"], xp["corqs_i"]
         qe = qsat_in - div((qsat_in - qlim) * covpclr, clcc**2.0, fd)
         qe_i = (
             qsat_in_i
@@ -370,7 +455,7 @@ def tl_level(
             )
             - div(2.0 * (qsat_in - qlim) * covpclr * clc_i, clcc**3.0, fd)
         )
-        tmp6 = jnp.sqrt(div(ap, aph_s, fd))
+        tmp6 = xp["tmp6"]
         preclr_safe = jnp.where(eact & (preclr > 0.0), preclr, 1.0)
         beta = c.RG * c.RPECONS * div(tmp6 * preclr_safe, 0.00509 * covpclr_safe, fd) ** 0.5777
         beta_i = (
@@ -410,8 +495,8 @@ def tl_level(
             1.0 + dt * beta * corqs,
             fd,
         ) - div(dt * b * (beta_i * corqs + beta * corqs_i), 1.0 + dt * beta * corqs, fd)
-        dtgdp = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
-        dtgdp_i = div(-dt * c.RG * (x["aph1_i"] - x["aph0_i"]), (x["aph1"] - x["aph0"]) ** 2.0, fd)
+        dtgdp = xp["dtgdp"]
+        dtgdp_i = xp["dtgdp_i"]
         dpr = div(covpclr * b, dtgdp, fd)
         dpr_i = div(covpclr_i * b + covpclr * b_i, dtgdp, fd) - div(covpclr * b * dtgdp_i, dtgdp**2.0, fd)
         big = dpr > preclr
@@ -448,16 +533,16 @@ def tl_level(
         covptot_out = covptot_out_i = zero
 
     # T and q increments (reference :618-659)
-    dqdt = -(condl + condi) + (x["lude"] + evapr + evaps) * gdp
+    dqdt = -(condl + condi) + (xp["lude"] + evapr + evaps) * gdp
     dqdt_i = (
         -(condl_i + condi_i)
-        + (x["lude_i"] + evapr_i + evaps_i) * gdp
-        + (x["lude"] + evapr + evaps) * gdp_i
+        + (xp["lude_i"] + evapr_i + evaps_i) * gdp
+        + (xp["lude"] + evapr + evaps) * gdp_i
     )
     tmp7 = (
         lvdcp * evapr
         + lsdcp * evaps
-        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        + xp["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
         - (lsdcp - lvdcp) * rfreeze
     )
     dtdt = lvdcp * condl + lsdcp * condi - tmp7 * gdp
@@ -471,8 +556,8 @@ def tl_level(
             + lvdcp * evapr_i
             + lsdcp_i * evaps
             + lsdcp * evaps_i
-            + x["lude_i"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
-            + x["lude"] * (fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i)
+            + xp["lude_i"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+            + xp["lude"] * (fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i)
             - (lsdcp_i - lvdcp_i) * rfreeze
             - (lsdcp - lvdcp) * rfreeze_i
         )
@@ -517,16 +602,16 @@ def tl_level(
     rfreeze_i = rfreeze_i + rfreeze2_i
 
     # output tendencies (reference :705-741)
-    tnd_q = -(condl + condi) + (x["lude"] + evapr + evaps) * gdp
+    tnd_q = -(condl + condi) + (xp["lude"] + evapr + evaps) * gdp
     tnd_q_i = (
         -(condl_i + condi_i)
-        + (x["lude_i"] + evapr_i + evaps_i) * gdp
-        + (x["lude"] + evapr + evaps) * gdp_i
+        + (xp["lude_i"] + evapr_i + evaps_i) * gdp
+        + (xp["lude"] + evapr + evaps) * gdp_i
     )
     tmp8 = (
         lvdcp * evapr
         + lsdcp * evaps
-        + x["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+        + xp["lude"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
         - (lsdcp - lvdcp) * rfreeze
     )
     tnd_t = lvdcp * condl + lsdcp * condi - tmp8 * gdp
@@ -540,8 +625,8 @@ def tl_level(
             + lvdcp * evapr_i
             + lsdcp_i * evaps
             + lsdcp * evaps_i
-            + x["lude_i"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
-            + x["lude"] * (fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i)
+            + xp["lude_i"] * (fwat * lvdcp + (1.0 - fwat) * lsdcp)
+            + xp["lude"] * (fwat_i * (lvdcp - lsdcp) + fwat * lvdcp_i + (1.0 - fwat) * lsdcp_i)
             - (lsdcp_i - lvdcp_i) * rfreeze
             - (lsdcp - lvdcp) * rfreeze_i
         )
@@ -554,8 +639,8 @@ def tl_level(
         "tnd_t_i": tnd_t_i,
         "tnd_q": tnd_q,
         "tnd_q_i": tnd_q_i,
-        "tnd_ql": (qlwc - ql) * rdt,
-        "tnd_ql_i": (qlwc_i - ql_i) * rdt,
+        "tnd_ql": xp["tnd_ql"],
+        "tnd_ql_i": xp["tnd_ql_i"],
         "tnd_qi": (qiwc - qi) * rdt,
         "tnd_qi_i": (qiwc_i - qi_i) * rdt,
         "clc": clc,
@@ -568,6 +653,29 @@ def tl_level(
         "fplsn_i": sfln_i,
     }
     return TLCarry(rfln, sfln, covptot, rfln_i, sfln_i, covptot_i), outs
+
+
+
+
+def tl_level(
+    carry: TLCarry,
+    x: Dict[str, Array],
+    aph_s: Array,
+    aph_s_i: Array,
+    trpaus: Array,
+    dt: float,
+    c: Constants,
+) -> Tuple[TLCarry, Dict[str, Array]]:
+    """One vertical level of the tangent-linear scheme (reference :149-753).
+
+    Composed from the carry-independent :func:`tl_level_pre` (phase A) and
+    the carry-dependent :func:`tl_level_post` (phase B) — a pure statement
+    reordering of the hand-derived TL level body, split so the Pallas
+    kernel can evaluate phase A block-vectorized over all levels of a
+    block while only phase B runs in the sequential level loop.
+    """
+    pre = tl_level_pre(x, aph_s, trpaus, dt, c)
+    return tl_level_post(carry, {**x, **pre}, aph_s, aph_s_i, dt, c)
 
 
 def prepare_tl_level_inputs(state: Dict[str, Array], dt: float, c: Constants) -> Dict[str, Array]:

@@ -280,6 +280,25 @@ def test_pallas_tl_unrolled_matches_rolled_kernel(f32_state_small, unroll):
             )
 
 
+def test_pallas_tl_split_matches_plain_kernel(f32_state_small):
+    """TL split=True (block-vectorized tl_level_pre + fully unrolled tail)
+    matches the plain per-level TL kernel.  Measured-negative for speed on
+    v5e (benchmarks/README.md) but kept as tested infrastructure."""
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.physics.increment import state_increment
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    ref = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    got = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128, split=True)
+    for r, g in zip(ref, got):
+        for n in r:
+            np.testing.assert_allclose(
+                np.asarray(g[n]), np.asarray(r[n]), rtol=2e-5, atol=1e-6, err_msg=n
+            )
+
+
 @pytest.mark.parametrize("unroll", [2, 8])
 def test_pallas_ad_unrolled_matches_rolled_kernel(f32_state_small, unroll):
     """AD kernel: the unrolled REVERSE sweep — padded levels run first with
