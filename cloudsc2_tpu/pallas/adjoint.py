@@ -51,8 +51,14 @@ from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
 Array = jnp.ndarray
 
-KB = 16
-WB = 256
+#: measured on v5e (within-process median-of-repeats A/B, correct
+#: reverse-output chain dependence): kb=8/wb=512/unroll=2 7.77M cols/s vs
+#: kb=16/wb=256/unroll=1 7.39M and kb=8/wb=256/unroll=2 7.59M.  (An earlier
+#: "+45% at kb=8" reading was a min()-biased tunnel artifact — see
+#: bench.py chain_seconds.)
+KB = 8
+WB = 512
+UNROLL = 2
 
 #: forward per-level inputs (as the NL kernel)
 FWD_INPUTS = (
@@ -80,7 +86,7 @@ def cloudsc2_ad_pallas(
     interpret: bool = False,
     kb: int | None = None,
     wb: int | None = None,
-    unroll: int = 1,
+    unroll: int | None = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
@@ -97,6 +103,7 @@ def cloudsc2_ad_pallas(
         )
     kb = KB if kb is None else kb
     wb = WB if wb is None else wb
+    unroll = UNROLL if unroll is None else unroll
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
 
