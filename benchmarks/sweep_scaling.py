@@ -138,22 +138,6 @@ def mode_tpu(ncols=1 << 16, nlev=137, long=32, short=4, repeats=3):
         jax.block_until_ready(x)
         float(jnp.sum(x[0]))
 
-    def chain_time_direct():
-        best = None
-        for _ in range(repeats):
-            t0 = time.perf_counter(); sync_arr(chain_direct(state, short)); ts = time.perf_counter() - t0
-            t0 = time.perf_counter(); sync_arr(chain_direct(state, long)); tl = time.perf_counter() - t0
-            per = (tl - ts) / (long - short)
-            best = per if best is None else min(best, per)
-        return best
-
-    sync_arr(chain_direct(state, short))
-    sync_arr(chain_direct(state, long))
-    t_direct = chain_time_direct()
-    print(json.dumps({"mode": "tpu", "config": "direct_pallas", "ncols": ncols,
-                      "per_step_ms": round(t_direct * 1e3, 3),
-                      "cols_per_sec": round(ncols / t_direct)}), flush=True)
-
     mesh = column_mesh(1, n_nodes=1)
     sharded = shard_state(state, mesh)
     inner = make_sharded_forward_step(mesh, dt=dt, c=c, impl="pallas").jitted
@@ -167,15 +151,24 @@ def mode_tpu(ncols=1 << 16, nlev=137, long=32, short=4, repeats=3):
             return s
         return jax.lax.fori_loop(0, n, body, dict(s))["t"]
 
-    sync_arr(chain_sm(sharded, short))
-    sync_arr(chain_sm(sharded, long))
-    best = None
-    for _ in range(repeats):
+    # warm both, then INTERLEAVE the A/B samples (tunnel throughput drifts
+    # process-to-process and minute-to-minute; interleaving + median makes
+    # the direct-vs-shard_map comparison fair)
+    sync_arr(chain_direct(state, short)); sync_arr(chain_direct(state, long))
+    sync_arr(chain_sm(sharded, short)); sync_arr(chain_sm(sharded, long))
+    d_samples, s_samples = [], []
+    for _ in range(max(repeats, 5)):
+        t0 = time.perf_counter(); sync_arr(chain_direct(state, short)); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); sync_arr(chain_direct(state, long)); tl = time.perf_counter() - t0
+        d_samples.append((tl - ts) / (long - short))
         t0 = time.perf_counter(); sync_arr(chain_sm(sharded, short)); ts = time.perf_counter() - t0
         t0 = time.perf_counter(); sync_arr(chain_sm(sharded, long)); tl = time.perf_counter() - t0
-        per = (tl - ts) / (long - short)
-        best = per if best is None else min(best, per)
-    t_sm = best
+        s_samples.append((tl - ts) / (long - short))
+    t_direct = sorted(d_samples)[len(d_samples) // 2]
+    t_sm = sorted(s_samples)[len(s_samples) // 2]
+    print(json.dumps({"mode": "tpu", "config": "direct_pallas", "ncols": ncols,
+                      "per_step_ms": round(t_direct * 1e3, 3),
+                      "cols_per_sec": round(ncols / t_direct)}), flush=True)
     print(json.dumps({"mode": "tpu", "config": "shard_map_1dev", "ncols": ncols,
                       "per_step_ms": round(t_sm * 1e3, 3),
                       "cols_per_sec": round(ncols / t_sm),
