@@ -51,7 +51,7 @@ UNROLL = 2
 
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_q", "tnd_ql", "tnd_qi", "clc", "covptot",
-    "fplsl", "fplsn", "fhpsl", "fhpsn",
+    "fplsl", "fplsn",
 )
 
 
@@ -59,7 +59,7 @@ LEVEL_OUTPUTS = (
     jax.jit,
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
-        "fuse_saturation", "kflag", "split",
+        "fuse_saturation", "kflag", "split", "xla_pre",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -74,6 +74,7 @@ def cloudsc2_nl_pallas(
     fuse_saturation: bool = False,
     kflag: int = 1,
     split: bool = False,
+    xla_pre: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -88,7 +89,20 @@ def cloudsc2_nl_pallas(
     hot path for the reference's saturation+NL loop
     (``run_nonlinear.py:115-119``); ``qsat`` is then returned as an extra
     diagnostic.  ``state["qsat"]``/precomputed ``t_fg`` are not read.
+
+    ``xla_pre=True`` evaluates the whole carry-independent phase A
+    (:func:`nl_level_pre`) as one fused XLA pass over the full
+    ``(nlev, ncols)`` arrays — level-parallel, full VPU utilization — and
+    runs only the carry-dependent tail (:func:`nl_level_post`) in the
+    kernel.  Only the exp/divide-expensive phase-A values stream through
+    HBM; cheap ones are recomputed bit-identically inside the tail (see
+    ``nl_level_post``).  This trades ~25 extra HBM streams for removing
+    ~60% of the kernel's serial-loop ops — the measured win on the
+    op-throughput-bound v5e kernel.  Incompatible with ``fuse_saturation``
+    and ``split``.
     """
+    if xla_pre and (fuse_saturation or split):
+        raise ValueError("xla_pre is incompatible with fuse_saturation/split")
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
 
@@ -137,8 +151,9 @@ def cloudsc2_nl_pallas(
         return x
 
     def _finish(outs, x, carry_in):
-        outs["fhpsl"] = -outs["fplsl"] * c.RLVTT
-        outs["fhpsn"] = -outs["fplsn"] * c.RLSTT
+        # fhpsl/fhpsn are pure scalings of fplsl/fplsn — computed in XLA at
+        # assembly instead of burning two kernel output streams (72 MB of
+        # HBM writes per step at the benchmark shape)
         if fuse_saturation:
             outs["qsat"] = x["qsat"]
         if with_trajectory:
@@ -174,10 +189,91 @@ def cloudsc2_nl_pallas(
         carry, outs, _aux = nl_level_post(NLCarry(*carry), x, dt, c)
         return tuple(carry), _finish(outs, x, carry_in)
 
+    kb_ = KB if kb is None else kb
+    if xla_pre:
+        # ---- phase A: one fused XLA pass over the full (nlev, ncols) grid
+        xfull = dict(level_inputs)
+        xfull["eta"] = eta[:, None]
+        xfull["scalm"] = scalm[:, None]
+        rh2, deta1, rsq = critical_rh_coeffs(trpaus)
+        xfull.update(crh_rh2=rh2, crh_deta1=deta1, crh_rsq=rsq)
+        pre = nl_level_pre(xfull, state["aph"][-1], trpaus, dt, c)
+
+        # ---- the tail kernel's minimal stream set: raw inputs it reads
+        # directly plus the exp/divide-expensive phase-A values (cheap ones
+        # are recomputed bit-identically inside nl_level_post)
+        tail_inputs = {
+            "ap": state["ap"],
+            "lude": state["lude"],
+            "t2": t_fg,
+            "q2": pre["q2"],
+            "qi_fg": pre["qi_fg"],
+            "clc": pre["clc"],
+            "qiwc1": pre["qiwc1"],
+            "prr": pre["prr"],
+            "cldi": pre["cldi"],
+            "condl1": pre["condl1"],
+            "condi1": pre["condi1"],
+            "z2s": pre["z2s"],
+            "dp": pre["dp"],
+            "gdp": pre["gdp"],
+        }
+        if c.FAST_DIV != "exact":
+            tail_inputs["rap"] = pre["rap"]
+        if c.LEVAPLS2 or c.LDRAIN1D:
+            tail_inputs.update(
+                qsat=state["qsat"], corqs=pre["corqs"], sqr=pre["sqr"],
+                dtgdp=pre["dtgdp"],
+            )
+
+        def tail_body(carry, x, col, _g):
+            carry_in = carry
+            carry, outs, _aux = nl_level_post(NLCarry(*carry), x, dt, c)
+            if with_trajectory:
+                outs["c_rfl"], outs["c_sfl"], outs["c_cov"] = carry_in
+            return tuple(carry), outs
+
+        tail_outs = ("tnd_t", "tnd_q", "tnd_qi", "covptot", "fplsl", "fplsn")
+        if with_trajectory:
+            tail_outs = tail_outs + ("c_rfl", "c_sfl", "c_cov")
+        named = level_scan_pallas(
+            tail_body,
+            level_inputs=tail_inputs,
+            col_inputs={},
+            scalar_inputs={},
+            out_names=tail_outs,
+            ncarry=3,
+            kb=kb_,
+            wb=WB if wb is None else wb,
+            unroll=UNROLL if unroll is None else unroll,
+            interpret=interpret,
+        )
+
+        zrow = jnp.zeros((1, ncols), dtype)
+        fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=0)
+        fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=0)
+        tends = {
+            "t": named["tnd_t"],
+            "q": named["tnd_q"],
+            "ql": pre["tnd_ql"],  # fully determined by phase A
+            "qi": named["tnd_qi"],
+        }
+        diags = {
+            "clc": pre["clc"],
+            "covptot": named["covptot"],
+            "fplsl": fplsl,
+            "fplsn": fplsn,
+            "fhpsl": -fplsl * c.RLVTT,
+            "fhpsn": -fplsn * c.RLSTT,
+        }
+        if with_trajectory:
+            traj = {n: named[n] for n in ("c_rfl", "c_sfl", "c_cov")}
+            return tends, diags, traj
+        return tends, diags
+
     out_names = LEVEL_OUTPUTS + (("c_rfl", "c_sfl", "c_cov") if with_trajectory else ())
     if fuse_saturation:
         out_names = out_names + ("qsat",)
-    kb_ = KB if kb is None else kb
     named = level_scan_pallas(
         post_body if split else body,
         level_inputs=level_inputs,
@@ -199,6 +295,8 @@ def cloudsc2_nl_pallas(
     )
 
     zrow = jnp.zeros((1, ncols), dtype)
+    fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=0)
+    fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=0)
     tends = {
         "t": named["tnd_t"],
         "q": named["tnd_q"],
@@ -208,10 +306,10 @@ def cloudsc2_nl_pallas(
     diags = {
         "clc": named["clc"],
         "covptot": named["covptot"],
-        "fplsl": jnp.concatenate([zrow, named["fplsl"]], axis=0),
-        "fplsn": jnp.concatenate([zrow, named["fplsn"]], axis=0),
-        "fhpsl": jnp.concatenate([zrow, named["fhpsl"]], axis=0),
-        "fhpsn": jnp.concatenate([zrow, named["fhpsn"]], axis=0),
+        "fplsl": fplsl,
+        "fplsn": fplsn,
+        "fhpsl": -fplsl * c.RLVTT,
+        "fhpsn": -fplsn * c.RLSTT,
     }
     if fuse_saturation:
         diags["qsat"] = named["qsat"]

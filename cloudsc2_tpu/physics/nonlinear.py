@@ -352,6 +352,13 @@ def nl_level_post(
     precipitation-evaporation branch, tendency assembly and the
     saturation-adjustment clipping (reference ``cloudsc2.py:232-246,
     264-399``).
+
+    Accepts a *reduced* ``xp`` (the Pallas ``xla_pre`` tail kernel streams
+    only the exp/divide-expensive phase-A values through HBM): ``fwat``,
+    ``lvdcp``/``lsdcp``, ``rcons``, ``itmp11``, ``act`` and ``qlim`` are
+    recomputed here — with the exact expression order of
+    :func:`nl_level_pre`, so the recompute is bit-identical — whenever the
+    key is absent.
     """
     rfl, sfl, covptot = carry
     fd = c.FAST_DIV
@@ -364,13 +371,28 @@ def nl_level_post(
     clc = xp["clc"]
     gdp = xp["gdp"]
     dp = xp["dp"]
-    fwat = xp["fwat"]
-    lvdcp, lsdcp = xp["lvdcp"], xp["lsdcp"]
+    if "fwat" in xp:
+        fwat = xp["fwat"]
+    elif c.LPHYLIN or c.LDRAIN1D:
+        fwat = jnp.where(
+            t < c.RTT, 0.545 * (jnp.tanh(0.17 * (t - c.RLPTRC)) + 1.0), 1.0
+        )
+    else:
+        fwat = fcttre.foealfa(t, c)
+    if "lvdcp" in xp:
+        lvdcp, lsdcp = xp["lvdcp"], xp["lsdcp"]
+        rcons = xp["rcons"]
+    else:
+        zz = c.RCPD + c.RCPD * c.RVTMP2 * xp["q2"]
+        rzz = rcp(zz, fd)
+        lfdcp = c.RLMLT * rzz
+        lvdcp = c.RLVTT * rzz
+        lsdcp = c.RLSTT * rzz
+        rcons = dt * gdp * lfdcp
     condl, condi = xp["condl1"], xp["condi1"]
-    qlwc = xp["qlwc"]
     qiwc = xp["qiwc1"]
     prr = xp["prr"]
-    act = xp["act"]
+    act = xp["act"] if "act" in xp else clc > c.ZEPS2
 
     # maximum precipitation overlap (reference :232-235)
     covptot_in = covptot
@@ -384,12 +406,18 @@ def nl_level_post(
     snmlt = jnp.minimum(sfl, xp["z2s"])
     rfln = jnp.where(melt, rfl + snmlt, rfl)
     sfln = jnp.where(melt, sfl - snmlt, sfl)
-    t = jnp.where(melt, t - snmlt * xp["rcons"], t)
+    t = jnp.where(melt, t - snmlt * rcons, t)
     aux.update(melt=melt, snmlt=snmlt, t_melt=t)
 
     # melt-temperature half of the snow autoconversion (reference :264-272)
+    if "itmp11" in xp:
+        itmp11 = xp["itmp11"]
+    else:
+        icrit = 0.0001 if (c.LEVAPLS2 or c.LDRAIN1D) else 2.0 * c.RCLCRIT
+        cldi = xp["cldi"]
+        itmp11 = jnp.exp(-(cldi * cldi * (1.0 / (icrit * icrit))))
     itmp12 = jnp.exp(0.025 * (t - c.RTT))
-    di = ckcodti * itmp12 * (1.0 - xp["itmp11"])
+    di = ckcodti * itmp12 * (1.0 - itmp11)
     itmp2 = jnp.exp(-di)
     qinew = clc * xp["cldi"] * itmp2
     prs = jnp.where(act, jnp.maximum(qiwc - qinew, 0.0), 0.0)
@@ -409,14 +437,15 @@ def nl_level_post(
     # in the default configuration, exactly as with GT4Py externals
     prtot = rfln + sfln
     aux["prtot"] = prtot
-    qsat_in = xp["qsat"]
     if c.LEVAPLS2 or c.LDRAIN1D:
+        qsat_in = xp["qsat"]
+        qlim = xp["qlim"] if "qlim" in xp else jnp.minimum(xp["q2"], qsat_in)
         eact = (prtot > c.ZEPS2) & (covpclr > c.ZEPS2)
         covptot_safe = jnp.where(eact, covptot, 1.0)
         covpclr_safe = jnp.where(eact, covpclr, 1.0)
         preclr1 = div(prtot * covpclr, covptot_safe, fd)
         clcc = jnp.where(eact, 1.0 - clc, 1.0)
-        qe = qsat_in - div((qsat_in - xp["qlim"]) * covpclr, clcc**2.0, fd)
+        qe = qsat_in - div((qsat_in - qlim) * covpclr, clcc**2.0, fd)
         sqr = xp["sqr"]
         barg = jnp.where(eact, div(sqr / 0.00509 * preclr1, covpclr_safe, fd), 1.0)
         beta = c.RG * c.RPECONS * barg**0.5777
@@ -460,7 +489,7 @@ def nl_level_post(
     aux.update(dqdt=dqdt, dtdt=dtdt, t3=t3, qold1=qold1)
 
     # saturation-adjustment clipping (reference :347)
-    t, q = cuadjtqs_nl(xp["ap"], t3, q, c, rap=xp["rap"])
+    t, q = cuadjtqs_nl(xp["ap"], t3, q, c, rap=xp.get("rap"))
     aux.update(t_adj=t, q_adj=q)
 
     # post-clipping rain fraction and freezing (reference :349-364).
@@ -499,13 +528,16 @@ def nl_level_post(
     outs = {
         "tnd_t": tnd_t,
         "tnd_q": tnd_q,
-        "tnd_ql": xp["tnd_ql"],
         "tnd_qi": tnd_qi,
         "clc": clc,
         "covptot": covptot_out,
         "fplsl": rfln,
         "fplsn": sfln,
     }
+    if "tnd_ql" in xp:
+        # passthrough from phase A; the xla_pre tail kernel emits it from
+        # XLA instead of streaming it through the kernel
+        outs["tnd_ql"] = xp["tnd_ql"]
     return NLCarry(rfln, sfln, covptot), outs, aux
 
 

@@ -113,6 +113,58 @@ def test_pallas_nl_split_matches_plain_kernel(f32_state_small):
             )
 
 
+def test_pallas_nl_xla_pre_matches_plain_kernel(f32_state_small):
+    """xla_pre=True evaluates phase A as one fused XLA pass over the full
+    (nlev, ncols) grid and streams only the exp/divide-expensive phase-A
+    values into the phase-B tail kernel (cheap ones are recomputed
+    bit-identically inside nl_level_post).  Must match the merged-body
+    kernel to compiler-level rounding — the recompute expressions are
+    bit-identical, so any deviation beyond FMA/fusion ulps is a
+    stream-selection bug."""
+    s, dt, c = f32_state_small
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128)
+    got = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, xla_pre=True)
+    for r, g in zip(ref, got):
+        for n in r:
+            np.testing.assert_allclose(
+                np.asarray(g[n]), np.asarray(r[n]), rtol=2e-5, atol=1e-6, err_msg=n
+            )
+    # trajectory variant (the AD forward sweep)
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, with_trajectory=True)
+    got = cloudsc2_nl_pallas(
+        s, dt, c, interpret=True, wb=128, with_trajectory=True, xla_pre=True
+    )
+    for r, g in zip(ref, got):
+        for n in r:
+            np.testing.assert_allclose(
+                np.asarray(g[n]), np.asarray(r[n]), rtol=2e-5, atol=1e-6, err_msg=n
+            )
+
+
+def test_pallas_nl_xla_pre_evap_branch():
+    """The LEVAPLS2/LDRAIN1D evaporation branch streams four extra phase-A
+    values (qsat, corqs, sqr, dtgdp); compare against the scan path with the
+    branch active."""
+    from cloudsc2_tpu import iox
+
+    c = make_constants(lphylin=True, ldrain1d=True)
+    _, state, dt = iox.synthesize_input(ncols=1024, nlev=53, seed=3, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in state.items()}
+    s["eta"] = eta_levels(s["ap"], s["aph"])
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=True, c=c)
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128)
+    got = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, xla_pre=True)
+    # fhpsl/fhpsn are fplsl/fplsn scaled by the latent heats (~2.5e6), so
+    # the flux-level ulp absorption scales with them
+    scale = {"fhpsl": c.RLVTT, "fhpsn": c.RLSTT}
+    for r, g in zip(ref, got):
+        for n in r:
+            np.testing.assert_allclose(
+                np.asarray(g[n]), np.asarray(r[n]),
+                rtol=2e-5, atol=1e-6 * scale.get(n, 1.0), err_msg=n,
+            )
+
+
 def test_pallas_nl_fused_saturation(f32_state):
     """fuse_saturation=True computes qsat + first-guess T in-kernel and
     matches the separate Saturation -> NL pipeline (the reference hot loop,
