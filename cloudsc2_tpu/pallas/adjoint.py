@@ -78,7 +78,10 @@ SEED_NAMES = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll"))
+@partial(
+    jax.jit,
+    static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll", "fwd_kb"),
+)
 def cloudsc2_ad_pallas(
     state: Dict[str, Array],
     dt: float,
@@ -87,6 +90,7 @@ def cloudsc2_ad_pallas(
     kb: int | None = None,
     wb: int | None = None,
     unroll: int | None = None,
+    fwd_kb: int | None = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
@@ -108,16 +112,17 @@ def cloudsc2_ad_pallas(
     dtype = state["ap"].dtype
 
     # ---- phase 1: forward trajectory (NL kernel) ----
-    # kb/wb are forwarded so tuning the adjoint tunes both sweeps and the
-    # column-tile requirement is ncols % (8*wb) for the whole kernel pair
-    # (the NL default wb=512 would otherwise silently demand ncols % 4096
-    # even when the reverse kernel's wb allows less).  When the shape also
-    # satisfies the NL kernel's own optimum tile (wb=512, measured best on
-    # v5e), prefer it for the forward sweep — tile size is a per-kernel
-    # tuning knob, not part of the numerics.
+    # wb is forwarded so the column-tile requirement is ncols % (8*wb) for
+    # the whole kernel pair (the NL default wb=512 would otherwise silently
+    # demand ncols % 4096 even when the reverse kernel's wb allows less);
+    # when the shape also satisfies the NL kernel's own optimum (wb=512,
+    # measured best on v5e), prefer it.  The level-block height is a
+    # per-kernel knob: the forward sweep defaults to the NL kernel's own
+    # measured-best kb (16) rather than the reverse kernel's VMEM-bound
+    # kb=8 — override with fwd_kb.
     fwd_wb = 512 if (wb < 512 and ncols % (8 * 512) == 0) else wb
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
-        state, dt, c, interpret=interpret, with_trajectory=True, kb=kb,
+        state, dt, c, interpret=interpret, with_trajectory=True, kb=fwd_kb,
         wb=fwd_wb, unroll=unroll,
     )
 
