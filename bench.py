@@ -157,10 +157,18 @@ def chain_ad(state, n, dt, c):
     return s["t"]
 
 
-def main() -> None:
+def build_nl_state(ncols: int = NCOLS):
+    """The NL chain's input state (tiled synthetic columns) and dt.
+
+    ``eta`` is diagnosed here, once, exactly as the drivers do (EtaLevels
+    runs before the timed loop, ``run_nonlinear.py``) and as the reference
+    does.  This is load-bearing for the measurement: leaving eta to
+    ``forward_step``'s in-jit fallback derivation costs 1.3 ms/step on v5e
+    (5.48 vs 4.14 ms, same-process A/B) — XLA fails to hoist the
+    eta-derived scalar-operand chain out of the ``fori_loop``, even though
+    it is loop-invariant."""
     _, state_np, dt = iox.synthesize_input(ncols=SYNTH_COLS, nlev=NLEV, seed=0)
-    c = make_constants(lphylin=True, ldrain1d=False)
-    reps = NCOLS // SYNTH_COLS
+    reps = ncols // SYNTH_COLS
     state = {
         k: (
             jnp.tile(jnp.asarray(v, DTYPE), (1, reps))
@@ -169,29 +177,47 @@ def main() -> None:
         )
         for k, v in state_np.items()
     }
+    state["eta"] = eta_levels(state["ap"], state["aph"])
+    return state, dt
 
-    # --- NL: the headline fused forward step (saturation + NL) ---
-    t_nl = chain_seconds(chain_nl, state, dt, c, 64, 8)
-    nl_cols = NCOLS / t_nl
 
-    # --- TL/AD states: eta + qsat + increments (+ AD seeds from one TL run),
-    # mirroring the symmetry-test pipeline (validation/symmetry.py) ---
+def build_tl_state(state, dt, c):
+    """TL chain state: eta + qsat + increments, mirroring the symmetry-test
+    pipeline (validation/symmetry.py)."""
     s = dict(state)
     s["eta"] = eta_levels(s["ap"], s["aph"])
     s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
     s.update(state_increment(s, 0.01, ignore_supsat=True))
+    return s
+
+
+def build_ad_state(s_tl, tends_tl, diags_tl):
+    """AD chain state: the TL state plus cotangent seeds from one TL run."""
+    s_ad = dict(s_tl)
+    for name in TEND_NAMES:
+        s_ad["tnd_" + name] = tends_tl[name]
+        s_ad["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s_ad[name + "_i"] = diags_tl[name + "_i"]
+    return s_ad
+
+
+def main() -> None:
+    c = make_constants(lphylin=True, ldrain1d=False)
+    state, dt = build_nl_state()
+
+    # --- NL: the headline forward step (saturation + NL) ---
+    t_nl = chain_seconds(chain_nl, state, dt, c, 64, 8)
+    nl_cols = NCOLS / t_nl
+
+    s = build_tl_state(state, dt, c)
     t_tl = chain_seconds(chain_tl, s, dt, c, 32, 4)
     tl_cols = NCOLS / t_tl
 
     from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 
     tends_tl, diags_tl = cloudsc2_tl_pallas(s, dt, c)
-    s_ad = dict(s)
-    for name in TEND_NAMES:
-        s_ad["tnd_" + name] = tends_tl[name]
-        s_ad["tnd_" + name + "_i"] = tends_tl[name + "_i"]
-    for name in DIAG_NAMES:
-        s_ad[name + "_i"] = diags_tl[name + "_i"]
+    s_ad = build_ad_state(s, tends_tl, diags_tl)
     t_ad = chain_seconds(chain_ad, s_ad, dt, c, 32, 4)
     ad_cols = NCOLS / t_ad
 

@@ -76,6 +76,13 @@ def forward_step(
     so a shard-local recompute would silently diverge whenever ``ap/aph_s``
     varies per column — :func:`make_sharded_forward_step` computes it once
     globally and passes it in replicated.
+
+    It also matters for performance when this function is traced inside a
+    loop: eta is loop-invariant, but XLA does not hoist the fallback
+    derivation (and the scalar-operand chain it feeds) out of a
+    ``fori_loop`` — measured +1.3 ms/step on v5e at the benchmark shape
+    (same-process A/B, bench.py).  Hot loops should pass eta in, as the
+    drivers (EtaLevels before the timed loop) and bench.py do.
     """
     s = dict(state)
     if "eta" not in s:

@@ -1,0 +1,64 @@
+
+# Copyright 2026.
+# Licensed under the Apache License, Version 2.0.
+"""Structural smoke tests for the headline benchmark (bench.py).
+
+The driver runs bench.py on real TPU hardware at the end of every round and
+json-parses its single output line; a structural regression there (a chain
+whose fori_loop carry changes pytree structure, a renamed state key, a
+Pallas-ineligible shape) would silently cost the round's benchmark artifact.
+``jax.eval_shape`` traces the full chain — including the Pallas kernels'
+abstract evaluation — without needing a TPU, so these tests catch that
+class of bug on CPU in seconds.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bench
+from cloudsc2_tpu import make_constants
+
+
+@pytest.fixture(scope="module")
+def states():
+    c = make_constants(lphylin=True, ldrain1d=False)
+    # smallest Pallas-eligible width (8 * WB lanes)
+    state, dt = bench.build_nl_state(ncols=4096)
+    s_tl = bench.build_tl_state(state, dt, c)
+    return state, s_tl, dt, c
+
+
+def test_chain_nl_traces(states):
+    state, _, dt, c = states
+    out = jax.eval_shape(lambda s: bench.chain_nl(s, 8, dt, c), state)
+    assert out.shape == state["t"].shape and out.dtype == state["t"].dtype
+
+
+def test_chain_tl_traces(states):
+    _, s_tl, dt, c = states
+    out = jax.eval_shape(lambda s: bench.chain_tl(s, 4, dt, c), s_tl)
+    assert out.shape == s_tl["t"].shape
+
+
+def test_chain_ad_traces(states):
+    _, s_tl, dt, c = states
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+    tends_tl, diags_tl = jax.eval_shape(
+        lambda s: cloudsc2_tl_pallas(s, dt, c), s_tl
+    )
+    # seed the AD state with abstract TL outputs: eval_shape composes
+    s_ad_abs = dict(
+        {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in s_tl.items()}
+    )
+    s_ad_abs = bench.build_ad_state(s_ad_abs, tends_tl, diags_tl)
+    out = jax.eval_shape(lambda s: bench.chain_ad(s, 4, dt, c), s_ad_abs)
+    assert out.shape == s_tl["t"].shape
+
+
+def test_roofline_denominator():
+    # 14 full + 1 interface inputs, 6 full + 4 interface outputs, f32
+    bpc = bench.bytes_per_column(137, 4)
+    assert bpc == 4 * ((14 + 6) * 137 + (1 + 4) * 138)
+    assert bench.device_bandwidth() > 0
