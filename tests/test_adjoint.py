@@ -76,6 +76,30 @@ def test_symmetry_exactness_f64(state_with_qsat, constants):
     assert err < 200.0, err  # ~1e-13 relative in f64
 
 
+import pytest
+
+
+@pytest.mark.parametrize("cfg", ["levapls2", "ldrain1d"])
+def test_symmetry_exactness_evaporation_branch(state_with_qsat, cfg):
+    """Adjoint symmetry with the precipitation-evaporation branch ACTIVE —
+    the hardest section of the reference's hand-written adjoint
+    (``adjoint/_stencils/cloudsc2.py:479-700``: the ``pow(0.5777)``
+    derivative, five guarded divides, and the surface-pressure cotangent
+    ``aph_s_i``).  Here the adjoint is the vjp-transpose of the TL, so the
+    norms must agree to f64 rounding with either branch switch
+    (``LEVAPLS2`` and ``LDRAIN1D`` select the same code with different
+    autoconversion thresholds)."""
+    _, state, dt = state_with_qsat
+    c = make_constants(lphylin=True, ldrain1d=cfg == "ldrain1d")
+    if cfg == "levapls2":
+        c = c.replace(LEVAPLS2=True)
+    st = SymmetryTest(constants=c)
+    norm1, norm2 = st.run(state, dt)
+    assert np.abs(norm1).max() > 0, "dead TL pipeline: all norms zero"
+    err = st.validate(norm1, norm2, verbose=False)
+    assert err < 200.0, err
+
+
 def test_ad_matches_vjp_without_regularization(state_with_qsat):
     """With LREGCL=False the adjoint equals jax.vjp of the NL scheme applied
     to the same cotangent seeds (the reference cannot run this check)."""
