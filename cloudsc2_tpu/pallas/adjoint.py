@@ -60,14 +60,18 @@ KB = 8
 WB = 512
 UNROLL = 2
 
-#: forward per-level inputs (as the NL kernel)
+#: forward per-level inputs (as the NL kernel; the interface pressures
+#: enter the scheme only as their difference, so one dp stream replaces
+#: two aph slices)
 FWD_INPUTS = (
-    "ap", "aph0", "aph1", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
+    "ap", "dp", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
     "qsat", "supsat", "t_fg", "tnd_cml_q", "tnd_cml_qi", "tnd_cml_ql",
 )
 #: tangent-input names whose cotangents the reverse kernel produces
+#: (dp_i instead of aph0_i/aph1_i: one output stream; the aph cotangent
+#: expands as aph_i[k] = dp_i[k-1] - dp_i[k] in XLA at assembly)
 XI_NAMES = (
-    "ap_i", "aph0_i", "aph1_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
+    "ap_i", "dp_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
     "q_i", "qi_i", "ql_i", "qsat_i", "supsat_i", "t_i", "tnd_cml_q_i",
     "tnd_cml_qi_i", "tnd_cml_ql_i", "tnd_cml_t_i",
 )
@@ -135,8 +139,7 @@ def cloudsc2_ad_pallas(
 
     fwd = {
         "ap": state["ap"],
-        "aph0": state["aph"][:-1],
-        "aph1": state["aph"][1:],
+        "dp": state["aph"][1:] - state["aph"][:-1],
         "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
         "lude": state["lude"],
         "mfd": state["mfd"],
@@ -224,8 +227,9 @@ def cloudsc2_ad_pallas(
         tends["cml_" + name + "_i"] = cot["tnd_cml_" + name + "_i"]
 
     zrow = jnp.zeros((1, ncols), dtype)
-    aph_i = jnp.concatenate([cot["aph0_i"], zrow], axis=0) + jnp.concatenate(
-        [zrow, cot["aph1_i"]], axis=0
+    # dp = aph1 - aph0  =>  aph_i[k] = dp_i[k-1] - dp_i[k] (zero outside)
+    aph_i = jnp.concatenate([zrow, cot["dp_i"]], axis=0) - jnp.concatenate(
+        [cot["dp_i"], zrow], axis=0
     )
     diags = dict(diags_f)
     diags.update(

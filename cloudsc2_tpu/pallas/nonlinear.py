@@ -114,8 +114,9 @@ def cloudsc2_nl_pallas(
 
     level_inputs = {
         "ap": state["ap"],
-        "aph0": state["aph"][:-1],
-        "aph1": state["aph"][1:],
+        # the scheme reads the interface pressures only as their difference
+        # (nl_level_pre): one dp stream instead of two aph slice copies
+        "dp": state["aph"][1:] - state["aph"][:-1],
         "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
         "lude": state["lude"],
         "mfd": state["mfd"],
@@ -180,7 +181,9 @@ def cloudsc2_nl_pallas(
         pre = nl_level_pre(xb, col["aph_s"], col["trpaus"], dt, c)
         if fuse_saturation:
             pre["qsat_blk"] = xb["qsat"]
-        return pre
+        # drop pure passthroughs of level inputs (e.g. dp): same value,
+        # and the harness rejects shadowing
+        return {k: v for k, v in pre.items() if k not in xb}
 
     def post_body(carry, x, col, _g):
         carry_in = carry

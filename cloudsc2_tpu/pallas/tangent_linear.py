@@ -9,9 +9,9 @@ harness; the per-level physics is
 :func:`cloudsc2_tpu.physics.tangent_linear.tl_level`, shared with the
 ``lax.scan`` oracle path.
 
-Twice the field count of the NL kernel (33 level inputs, 16 outputs, carry
+Twice the field count of the NL kernel (31 level inputs, 16 outputs, carry
 of 6), so the VMEM budget forces a shorter level block than the NL kernel
-(``KB = 8``: 49 double-buffered (8, 8, 512) f32 blocks ≈ 13 MB; wb=1024
+(``KB = 8``: 47 double-buffered (8, 8, 512) f32 blocks ≈ 12 MB; wb=1024
 exceeds VMEM).
 """
 from __future__ import annotations
@@ -82,8 +82,9 @@ def cloudsc2_tl_pallas(
 
     level_inputs = {
         "ap": state["ap"],
-        "aph0": state["aph"][:-1],
-        "aph1": state["aph"][1:],
+        # interface pressures enter only as differences (tl_level_pre):
+        # two dp streams instead of four aph/aph_i slice copies
+        "dp": state["aph"][1:] - state["aph"][:-1],
         "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
         "lude": state["lude"],
         "mfd": state["mfd"],
@@ -98,8 +99,7 @@ def cloudsc2_tl_pallas(
         "tnd_cml_qi": state["tnd_cml_qi"],
         "tnd_cml_ql": state["tnd_cml_ql"],
         "ap_i": state["ap_i"],
-        "aph0_i": state["aph_i"][:-1],
-        "aph1_i": state["aph_i"][1:],
+        "dp_i": state["aph_i"][1:] - state["aph_i"][:-1],
         "lu_next_i": jnp.concatenate([lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0),
         "lude_i": state["lude_i"],
         "mfd_i": state["mfd_i"],
@@ -128,7 +128,10 @@ def cloudsc2_tl_pallas(
         """Phase A on a whole (kb, 8, wb) level block — bulk tensor ops."""
         xb = dict(xb, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
                   crh_rsq=col["crh_rsq"])
-        return tl_level_pre(xb, col["aph_s"], col["trpaus"], dt, c)
+        pre = tl_level_pre(xb, col["aph_s"], col["trpaus"], dt, c)
+        # drop pure passthroughs of level inputs (e.g. dp/dp_i): same
+        # value, and the harness rejects shadowing
+        return {k: v for k, v in pre.items() if k not in xb}
 
     def post_body(carry, x, col, _g):
         carry, outs = tl_level_post(

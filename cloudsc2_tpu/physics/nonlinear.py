@@ -159,8 +159,11 @@ def nl_level_pre(
     scalm = x["scalm"]
 
     # thermodynamic coefficients (reference :129-134); one reciprocal of the
-    # moist heat capacity instead of three VPU divides
-    dp = x["aph1"] - x["aph0"]
+    # moist heat capacity instead of three VPU divides.  The interface
+    # pressures enter the scheme ONLY through their difference, so the
+    # Pallas wrappers stream precomputed ``dp`` (one HBM stream instead of
+    # two near-identical aph slices); the subtract here is bit-identical
+    dp = x["dp"] if "dp" in x else x["aph1"] - x["aph0"]
     zz = c.RCPD + c.RCPD * c.RVTMP2 * q
     rzz = rcp(zz, fd)
     lfdcp = c.RLMLT * rzz
@@ -250,7 +253,7 @@ def nl_level_pre(
     )
 
     # convective detrainment (reference :209-215)
-    gdp = div(c.RG, x["aph1"] - x["aph0"], fd)
+    gdp = div(c.RG, dp, fd)
     lude = dt * x["lude"] * gdp
     lu1 = x["lu_next"]
     lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
@@ -337,7 +340,7 @@ def nl_level_pre(
         # carry-free factors of the precipitation evaporation (reference
         # :295, :305)
         pre["sqr"] = jnp.sqrt(div(ap, aph_s, fd))
-        pre["dtgdp"] = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
+        pre["dtgdp"] = div(dt * c.RG, dp, fd)
     return pre
 
 

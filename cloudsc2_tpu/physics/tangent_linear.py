@@ -98,8 +98,10 @@ def tl_level_pre(
     scalm = x["scalm"]
 
     # thermodynamic coefficients, inverse form (reference :170-180)
-    dp = x["aph1"] - x["aph0"]
-    dp_i = x["aph1_i"] - x["aph0_i"]
+    # interface pressures enter only through their difference; the Pallas
+    # wrapper streams precomputed dp/dp_i (see physics/nonlinear.py)
+    dp = x["dp"] if "dp" in x else x["aph1"] - x["aph0"]
+    dp_i = x["dp_i"] if "dp_i" in x else x["aph1_i"] - x["aph0_i"]
     zz = rcp(c.RCPD + c.RCPD * c.RVTMP2 * q, fd)
     zz_i = div(-c.RCPD * c.RVTMP2 * q_i, (c.RCPD + c.RCPD * c.RVTMP2 * q) ** 2.0, fd)
     lfdcp = c.RLMLT * zz
@@ -206,8 +208,8 @@ def tl_level_pre(
     qc_i = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat_i - qcrit_i), qc_mid_i))
 
     # convective component (reference :308-325)
-    gdp = div(c.RG, x["aph1"] - x["aph0"], fd)
-    gdp_i = div(-c.RG * (x["aph1_i"] - x["aph0_i"]), (x["aph1"] - x["aph0"]) ** 2.0, fd)
+    gdp = div(c.RG, dp, fd)
+    gdp_i = div(-c.RG * dp_i, dp**2.0, fd)
     lude = dt * x["lude"] * gdp
     lude_i = dt * (x["lude_i"] * gdp + x["lude"] * gdp_i)
     lu1 = x["lu_next"]
@@ -331,8 +333,8 @@ def tl_level_pre(
         pre["corqs"] = corqs
         pre["corqs_i"] = corqs_i
         pre["tmp6"] = jnp.sqrt(div(ap, aph_s, fd))
-        pre["dtgdp"] = div(dt * c.RG, x["aph1"] - x["aph0"], fd)
-        pre["dtgdp_i"] = div(-dt * c.RG * (x["aph1_i"] - x["aph0_i"]), (x["aph1"] - x["aph0"]) ** 2.0, fd)
+        pre["dtgdp"] = div(dt * c.RG, dp, fd)
+        pre["dtgdp_i"] = div(-dt * c.RG * dp_i, dp**2.0, fd)
     return pre
 
 
