@@ -60,20 +60,22 @@ KB = 8
 WB = 512
 UNROLL = 2
 
-#: forward per-level inputs (as the NL kernel; the interface pressures
-#: enter the scheme only as their difference, so one dp stream replaces
-#: two aph slices)
+#: forward per-level inputs (as the NL kernel): the interface pressures
+#: enter the scheme only as their difference (one dp stream replaces two
+#: aph slices), and the species/tendency/supsat fields only through the
+#: first-guess combines (q2/ql_fg/qi_fg replace 7 raw streams)
 FWD_INPUTS = (
-    "ap", "dp", "lu_next", "lude", "mfd", "mfu", "q", "qi", "ql",
-    "qsat", "supsat", "t_fg", "tnd_cml_q", "tnd_cml_qi", "tnd_cml_ql",
+    "ap", "dp", "lu_next", "lude", "mfd", "mfu", "q2", "ql_fg", "qi_fg",
+    "qsat", "t_fg",
 )
-#: tangent-input names whose cotangents the reverse kernel produces
-#: (dp_i instead of aph0_i/aph1_i: one output stream; the aph cotangent
-#: expands as aph_i[k] = dp_i[k-1] - dp_i[k] in XLA at assembly)
+#: tangent-input names whose cotangents the reverse kernel produces.
+#: Folded bases: dp_i for the aph pair (aph_i[k] = dp_i[k-1] - dp_i[k]);
+#: q2_i/ql_fg_i/qi_fg_i/t_fg_i for the first-guess combines — the raw
+#: cotangents are exact linear images (coefficient 1 for the field and
+#: supsat, dt for the accumulated tendency), expanded in XLA at assembly
 XI_NAMES = (
     "ap_i", "dp_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
-    "q_i", "qi_i", "ql_i", "qsat_i", "supsat_i", "t_i", "tnd_cml_q_i",
-    "tnd_cml_qi_i", "tnd_cml_ql_i", "tnd_cml_t_i",
+    "q2_i", "ql_fg_i", "qi_fg_i", "qsat_i", "t_fg_i",
 )
 #: tangent outputs of tl_level that receive cotangent seeds
 SEED_NAMES = (
@@ -144,15 +146,11 @@ def cloudsc2_ad_pallas(
         "lude": state["lude"],
         "mfd": state["mfd"],
         "mfu": state["mfu"],
-        "q": state["q"],
-        "qi": state["qi"],
-        "ql": state["ql"],
+        "q2": state["q"] + dt * state["tnd_cml_q"] + state["supsat"],
+        "ql_fg": state["ql"] + dt * state["tnd_cml_ql"],
+        "qi_fg": state["qi"] + dt * state["tnd_cml_qi"],
         "qsat": state["qsat"],
-        "supsat": state["supsat"],
         "t_fg": t_fg,
-        "tnd_cml_q": state["tnd_cml_q"],
-        "tnd_cml_qi": state["tnd_cml_qi"],
-        "tnd_cml_ql": state["tnd_cml_ql"],
     }
     # cotangent seeds: interface-flux seeds fold their enthalpy partners
     # (fhpsl = -RLVTT * fplsl) and shift one level (output k = interface k+1)
@@ -221,10 +219,17 @@ def cloudsc2_ad_pallas(
     )
     cot = {n: named["cot_" + n][:nlev] for n in XI_NAMES}
 
-    # ---- assemble the component outputs (adjoint/microphysics.py:150-218) ----
+    # ---- assemble the component outputs (adjoint/microphysics.py:150-218).
+    # The folded cotangent bases expand by linearity of the first-guess
+    # combines: q2 = q + dt*tnd_cml_q + supsat gives cot_q = cot_supsat =
+    # cot_q2 and cot_tnd_cml_q = dt*cot_q2 (supsat keeps coefficient 1 —
+    # the documented exact-transpose deviation, see PARITY.md), and
+    # likewise for ql/qi/t.
     tends = dict(tends_f)
-    for name in ("t", "q", "ql", "qi"):
-        tends["cml_" + name + "_i"] = cot["tnd_cml_" + name + "_i"]
+    tends["cml_t_i"] = dt * cot["t_fg_i"]
+    tends["cml_q_i"] = dt * cot["q2_i"]
+    tends["cml_ql_i"] = dt * cot["ql_fg_i"]
+    tends["cml_qi_i"] = dt * cot["qi_fg_i"]
 
     zrow = jnp.zeros((1, ncols), dtype)
     # dp = aph1 - aph0  =>  aph_i[k] = dp_i[k-1] - dp_i[k] (zero outside)
@@ -235,15 +240,15 @@ def cloudsc2_ad_pallas(
     diags.update(
         ap_i=cot["ap_i"],
         aph_i=aph_i,
-        t_i=cot["t_i"],
-        q_i=cot["q_i"],
+        t_i=cot["t_fg_i"],
+        q_i=cot["q2_i"],
         qsat_i=cot["qsat_i"],
-        ql_i=cot["ql_i"],
-        qi_i=cot["qi_i"],
+        ql_i=cot["ql_fg_i"],
+        qi_i=cot["qi_fg_i"],
         lu_i=jnp.concatenate([zrow, cot["lu_next_i"][:-1]], axis=0),
         lude_i=cot["lude_i"],
         mfd_i=cot["mfd_i"],
         mfu_i=cot["mfu_i"],
-        supsat_i=cot["supsat_i"],
+        supsat_i=cot["q2_i"],
     )
     return tends, diags

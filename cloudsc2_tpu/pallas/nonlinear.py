@@ -121,13 +121,11 @@ def cloudsc2_nl_pallas(
         "lude": state["lude"],
         "mfd": state["mfd"],
         "mfu": state["mfu"],
-        "q": state["q"],
-        "qi": state["qi"],
-        "ql": state["ql"],
-        "supsat": state["supsat"],
-        "tnd_cml_q": state["tnd_cml_q"],
-        "tnd_cml_qi": state["tnd_cml_qi"],
-        "tnd_cml_ql": state["tnd_cml_ql"],
+        # first-guess combines precomputed in XLA (nl_level_pre accepts
+        # them): 3 streams instead of the 7 raw fields
+        "q2": state["q"] + dt * state["tnd_cml_q"] + state["supsat"],
+        "ql_fg": state["ql"] + dt * state["tnd_cml_ql"],
+        "qi_fg": state["qi"] + dt * state["tnd_cml_qi"],
     }
     if fuse_saturation:
         level_inputs["t"] = state["t"]

@@ -9,10 +9,10 @@ harness; the per-level physics is
 :func:`cloudsc2_tpu.physics.tangent_linear.tl_level`, shared with the
 ``lax.scan`` oracle path.
 
-Twice the field count of the NL kernel (31 level inputs, 16 outputs, carry
-of 6), so the VMEM budget forces a shorter level block than the NL kernel
-(``KB = 8``: 47 double-buffered (8, 8, 512) f32 blocks ≈ 12 MB; wb=1024
-exceeds VMEM).
+Twice the field count of the NL kernel (22 level inputs after the
+dp / first-guess stream folds, 16 outputs, carry of 6), so the VMEM
+budget forces a shorter level block than the NL kernel (``KB = 8``;
+wb=1024 exceeds VMEM).
 """
 from __future__ import annotations
 
@@ -89,31 +89,25 @@ def cloudsc2_tl_pallas(
         "lude": state["lude"],
         "mfd": state["mfd"],
         "mfu": state["mfu"],
-        "q": state["q"],
-        "qi": state["qi"],
-        "ql": state["ql"],
         "qsat": state["qsat"],
-        "supsat": state["supsat"],
         "t_fg": t_fg,
-        "tnd_cml_q": state["tnd_cml_q"],
-        "tnd_cml_qi": state["tnd_cml_qi"],
-        "tnd_cml_ql": state["tnd_cml_ql"],
+        # first-guess combines (values + perturbations) precomputed in XLA
+        # (tl_level_pre accepts them): 7 streams instead of 16 raw fields —
+        # the biggest VMEM/stream relief for this most stream-bound kernel
+        "q2": state["q"] + dt * state["tnd_cml_q"] + state["supsat"],
+        "ql_fg": state["ql"] + dt * state["tnd_cml_ql"],
+        "qi_fg": state["qi"] + dt * state["tnd_cml_qi"],
+        "t_fg_i": state["t_i"] + dt * state["tnd_cml_t_i"],
+        "q2_i": state["q_i"] + dt * state["tnd_cml_q_i"] + state["supsat_i"],
+        "ql_fg_i": state["ql_i"] + dt * state["tnd_cml_ql_i"],
+        "qi_fg_i": state["qi_i"] + dt * state["tnd_cml_qi_i"],
         "ap_i": state["ap_i"],
         "dp_i": state["aph_i"][1:] - state["aph_i"][:-1],
         "lu_next_i": jnp.concatenate([lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0),
         "lude_i": state["lude_i"],
         "mfd_i": state["mfd_i"],
         "mfu_i": state["mfu_i"],
-        "q_i": state["q_i"],
-        "qi_i": state["qi_i"],
-        "ql_i": state["ql_i"],
         "qsat_i": state["qsat_i"],
-        "supsat_i": state["supsat_i"],
-        "t_i": state["t_i"],
-        "tnd_cml_q_i": state["tnd_cml_q_i"],
-        "tnd_cml_qi_i": state["tnd_cml_qi_i"],
-        "tnd_cml_ql_i": state["tnd_cml_ql_i"],
-        "tnd_cml_t_i": state["tnd_cml_t_i"],
     }
 
     def body(carry, x, col, _g):

@@ -145,11 +145,14 @@ def nl_level_pre(
     qsat_in = x["qsat"]
     pre: Dict[str, Any] = {"rap": rap}
 
-    # first-guess state (reference :102-104, :113-117)
+    # first-guess state (reference :102-104, :113-117).  The raw species /
+    # accumulated tendencies / supsat enter the scheme ONLY through these
+    # combines, so the Pallas wrappers stream the precomputed first-guess
+    # values (3 streams instead of 7); the combine is bit-identical
     t = x["t_fg"]
-    q = x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
-    ql = x["ql"] + dt * x["tnd_cml_ql"]
-    qi = x["qi"] + dt * x["tnd_cml_qi"]
+    q = x["q2"] if "q2" in x else x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
+    ql = x["ql_fg"] if "ql_fg" in x else x["ql"] + dt * x["tnd_cml_ql"]
+    qi = x["qi_fg"] if "qi_fg" in x else x["qi"] + dt * x["tnd_cml_qi"]
     pre.update(t2=t, q2=q, ql_fg=ql, qi_fg=qi)
 
     # constants (reference :119-127)

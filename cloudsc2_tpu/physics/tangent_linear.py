@@ -79,13 +79,20 @@ def tl_level_pre(
 
     # first-guess state and perturbations (reference :137-156)
     t = x["t_fg"]
-    t_i = x["t_i"] + dt * x["tnd_cml_t_i"]
-    q = x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
-    q_i = x["q_i"] + dt * x["tnd_cml_q_i"] + x["supsat_i"]
-    ql = x["ql"] + dt * x["tnd_cml_ql"]
-    ql_i = x["ql_i"] + dt * x["tnd_cml_ql_i"]
-    qi = x["qi"] + dt * x["tnd_cml_qi"]
-    qi_i = x["qi_i"] + dt * x["tnd_cml_qi_i"]
+    # the raw species / accumulated tendencies / supsat (and their
+    # perturbations) enter ONLY through these combines, so the Pallas
+    # wrapper streams the precomputed first-guess values (7 streams
+    # instead of 16); the combine is bit-identical either way
+    t_i = x["t_fg_i"] if "t_fg_i" in x else x["t_i"] + dt * x["tnd_cml_t_i"]
+    q = x["q2"] if "q2" in x else x["q"] + dt * x["tnd_cml_q"] + x["supsat"]
+    q_i = (
+        x["q2_i"] if "q2_i" in x
+        else x["q_i"] + dt * x["tnd_cml_q_i"] + x["supsat_i"]
+    )
+    ql = x["ql_fg"] if "ql_fg" in x else x["ql"] + dt * x["tnd_cml_ql"]
+    ql_i = x["ql_fg_i"] if "ql_fg_i" in x else x["ql_i"] + dt * x["tnd_cml_ql_i"]
+    qi = x["qi_fg"] if "qi_fg" in x else x["qi"] + dt * x["tnd_cml_qi"]
+    qi_i = x["qi_fg_i"] if "qi_fg_i" in x else x["qi_i"] + dt * x["tnd_cml_qi_i"]
 
     # constants (reference :158-168)
     ckcodtl = 2.0 * c.RKCONV * dt

@@ -323,12 +323,13 @@ def test_pallas_tl_unrolled_matches_rolled_kernel(f32_state_small, unroll):
     t_ref, d_ref = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
     t_u, d_u = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
     # rtol 2e-5: the two loop structures compile separately and XLA's
-    # FMA/fusion choices differ; observed worst case ~6e-6 rel on
-    # accumulated fluxes
+    # FMA/fusion choices differ; atol 1e-6 absorbs accumulation-order
+    # noise on near-cancelling flux perturbations (field scale O(100),
+    # observed worst case ~2e-8 abs)
     for ref, got in ((t_ref, t_u), (d_ref, d_u)):
         for n in ref:
             np.testing.assert_allclose(
-                np.asarray(got[n]), np.asarray(ref[n]), rtol=2e-5, atol=1e-12, err_msg=n
+                np.asarray(got[n]), np.asarray(ref[n]), rtol=2e-5, atol=1e-6, err_msg=n
             )
 
 
