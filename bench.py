@@ -202,7 +202,32 @@ def build_ad_state(s_tl, tends_tl, diags_tl):
     return s_ad
 
 
+def wait_for_device(attempts: int = 8, delay_s: float = 120.0) -> None:
+    """Block until the TPU backend initializes in a fresh subprocess.
+
+    The remote-TPU tunnel flaps (observed: ~30 min of
+    ``Unable to initialize backend 'axon': UNAVAILABLE``); a failed init
+    may be cached by xla_bridge in-process, so probe in subprocesses and
+    only touch the backend here once a probe succeeds.  Falls through
+    after ``attempts`` so the one-JSON-line contract still produces a
+    (CPU or error) result rather than hanging the driver."""
+    import subprocess
+    import sys
+
+    for i in range(attempts):
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=600,
+        )
+        if probe.returncode == 0:
+            return
+        if i < attempts - 1:
+            time.sleep(delay_s)
+
+
 def main() -> None:
+    wait_for_device()
     c = make_constants(lphylin=True, ldrain1d=False)
     state, dt = build_nl_state()
 
