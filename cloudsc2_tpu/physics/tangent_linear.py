@@ -109,8 +109,13 @@ def tl_level_pre(
     # wrapper streams precomputed dp/dp_i (see physics/nonlinear.py)
     dp = x["dp"] if "dp" in x else x["aph1"] - x["aph0"]
     dp_i = x["dp_i"] if "dp_i" in x else x["aph1_i"] - x["aph0_i"]
-    zz = rcp(c.RCPD + c.RCPD * c.RVTMP2 * q, fd)
-    zz_i = div(-c.RCPD * c.RVTMP2 * q_i, (c.RCPD + c.RCPD * c.RVTMP2 * q) ** 2.0, fd)
+    # moist heat capacity D and one shared reciprocal; the derivative is
+    # -D_i/D^2 = -D_i*zz*zz (quotient rule via the shared reciprocal — the
+    # same strength reduction as nl_level_pre, exact algebra, ~1 ulp)
+    zd = c.RCPD + c.RCPD * c.RVTMP2 * q
+    zd_i = c.RCPD * c.RVTMP2 * q_i
+    zz = rcp(zd, fd)
+    zz_i = -zd_i * (zz * zz)
     lfdcp = c.RLMLT * zz
     lfdcp_i = c.RLMLT * zz_i
     lsdcp = c.RLSTT * zz
@@ -127,22 +132,31 @@ def tl_level_pre(
     fwat_i = jnp.where(cold, 0.545 * 0.17 * t_i * (1.0 - th * th), 0.0)
     z3es = jnp.where(cold, c.R3IES, c.R3LES)
     z4es = jnp.where(cold, c.R4IES, c.R4LES)
-    foeew = c.R2ES * jnp.exp(div(z3es * (t - c.RTT), t - z4es, fd))
-    foeew_i = div(z3es * (c.RTT - z4es) * t_i * foeew, (t - z4es) ** 2.0, fd)
-    esdp = div(foeew, ap, fd)
-    esdp_i = div(foeew_i, ap, fd) - div(foeew * ap_i, ap**2.0, fd)
+    # one reciprocal each of (t - R4LES) and (t - R4IES) serves the
+    # saturation-pressure exponent argument AND the four dqs/dT factors
+    # (same sharing as nl_level_pre: facw = R5LES*rl^2, facw_i = -2*R5LES*
+    # t_i*rl^3), and one reciprocal of ap serves esdp and its perturbation
+    # — 10 divides fold into 3 reciprocals
+    rl = rcp(t - c.R4LES, fd)
+    ri = rcp(t - c.R4IES, fd)
+    rz4es = jnp.where(cold, ri, rl)
+    rap = rcp(ap, fd)
+    foeew = c.R2ES * jnp.exp(z3es * (t - c.RTT) * rz4es)
+    foeew_i = z3es * (c.RTT - z4es) * t_i * foeew * (rz4es * rz4es)
+    esdp = foeew * rap
+    esdp_i = (foeew_i - esdp * ap_i) * rap
     clip_esdp = esdp > c.ZQMAX
     esdp = jnp.where(clip_esdp, c.ZQMAX, esdp)
     esdp_i = jnp.where(clip_esdp, 0.0, esdp_i)
 
-    facw = div(c.R5LES, (t - c.R4LES) ** 2.0, fd)
-    facw_i = div(-2.0 * c.R5LES * t_i, (t - c.R4LES) ** 3.0, fd)
-    faci = div(c.R5IES, (t - c.R4IES) ** 2.0, fd)
-    faci_i = div(-2.0 * c.R5IES * t_i, (t - c.R4IES) ** 3.0, fd)
+    facw = c.R5LES * (rl * rl)
+    facw_i = -2.0 * c.R5LES * t_i * (rl * rl * rl)
+    faci = c.R5IES * (ri * ri)
+    faci_i = -2.0 * c.R5IES * t_i * (ri * ri * ri)
     fac = fwat * facw + (1.0 - fwat) * faci
     fac_i = fwat_i * (facw - faci) + fwat * facw_i + (1.0 - fwat) * faci_i
     cor = rcp(1.0 - c.RETV * esdp, fd)
-    cor_i = div(c.RETV * esdp_i, (1.0 - c.RETV * esdp) ** 2.0, fd)
+    cor_i = c.RETV * esdp_i * (cor * cor)
     dqsdtemp = fac * cor * qsat_in
     dqsdtemp_i = fac_i * cor * qsat_in + fac * cor_i * qsat_in + fac * cor * qsat_in_i
     corqs = 1.0 + cons3 * dqsdtemp
@@ -178,17 +192,20 @@ def tl_level_pre(
     qcd_i = qsat_i - qcrit_i
     denom = qcd - scalm * (qt - qcrit)
     denom_safe = jnp.where(mid, denom, 1.0)
-    tmp1 = jnp.sqrt(jnp.where(mid, div(qpd, denom_safe, fd), 0.0))
-    tmp1_safe = jnp.where(mid, tmp1, 1.0)
+    # one reciprocal of the safe denominator serves the ratio and the
+    # quotient-rule term of its perturbation
+    rdenom = rcp(denom_safe, fd)
+    ratio = jnp.where(mid, qpd * rdenom, 0.0)
+    tmp1 = jnp.sqrt(ratio)
     clc_mid = 1.0 - tmp1
+    # 1/tmp1 as a single rsqrt of the guarded ratio (one VPU op instead of
+    # sqrt + divide; the guard value 1.0 keeps inactive lanes finite)
+    rtmp1 = jax.lax.rsqrt(jnp.where(mid, ratio, 1.0))
     clc_mid_i = (
         -0.5
-        * rcp(tmp1_safe, fd)
-        * div(
-            qpd_i * denom - qpd * (qcd_i - scalm * (qt_i - qcrit_i)),
-            denom_safe**2.0,
-            fd,
-        )
+        * rtmp1
+        * (qpd_i * denom - qpd * (qcd_i - scalm * (qt_i - qcrit_i)))
+        * (rdenom * rdenom)
     )
     if c.LREGCL:
         # regularization of the cloud-fraction perturbation (reference :294-301)
@@ -214,28 +231,33 @@ def tl_level_pre(
     qc = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat - qcrit), qc_mid))
     qc_i = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat_i - qcrit_i), qc_mid_i))
 
-    # convective component (reference :308-325)
-    gdp = div(c.RG, dp, fd)
-    gdp_i = div(-c.RG * dp_i, dp**2.0, fd)
+    # convective component (reference :308-325); one reciprocal each of dp
+    # and lu1_safe serves value + perturbation (5 divides fold into 2)
+    rdp = rcp(dp, fd)
+    gdp = c.RG * rdp
+    gdp_i = -c.RG * dp_i * (rdp * rdp)
     lude = dt * x["lude"] * gdp
     lude_i = dt * (x["lude_i"] * gdp + x["lude"] * gdp_i)
     lu1 = x["lu_next"]
     lu1_i = x["lu_next_i"]
     lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
     lu1_safe = jnp.where(lo1, lu1, 1.0)
-    tmp2 = jnp.exp(div(-lude, lu1_safe, fd))
+    rlu1 = rcp(lu1_safe, fd)
+    tmp2 = jnp.exp(-lude * rlu1)
     clc_i_conv = -clc_i * (1.0 - tmp2) + (1.0 - clc) * tmp2 * (
-        div(lude_i, lu1_safe, fd) - div(lude * lu1_i, lu1_safe**2.0, fd)
+        (lude_i - lude * lu1_i * rlu1) * rlu1
     )
     clc_i = jnp.where(lo1, clc_i + clc_i_conv, clc_i)
     clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
     qc = jnp.where(lo1, qc + lude, qc)
     qc_i = jnp.where(lo1, qc_i + lude_i, qc_i)
 
-    # compensating subsidence (reference :327-373)
+    # compensating subsidence (reference :327-373); 1/t = RD*fac1 and
+    # 1/rho = RD*t*rap (nl_level_pre's fac4), so the rho_i quotient term
+    # and the two sub divides need no further division
     fac1 = rcp(c.RD * t, fd)
     rho = ap * fac1
-    rho_i = (ap_i - div(ap * t_i, t, fd)) * fac1
+    rho_i = (ap_i - ap * t_i * (c.RD * fac1)) * fac1
     fac2 = rcp(ap - c.RETV * foeew, fd)
     rodqsdp = -rho * qsat_in * fac2
     rodqsdp_i = (
@@ -257,15 +279,14 @@ def tl_level_pre(
     dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
     dqsdz_i = dqsdtemp_i * dtdzmo + dqsdtemp * dtdzmo_i - c.RG * rodqsdp_i
 
-    sub = div(dt * dqsdz * (x["mfu"] + x["mfd"]), rho, fd)
+    fac4 = c.RD * t * rap  # 1/rho, division-free (nl_level_pre's fac4)
+    sub = dt * dqsdz * (x["mfu"] + x["mfd"]) * fac4
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
-    dqc_i_sub = div(
+    dqc_i_sub = (
         dt * (dqsdz_i * (x["mfu"] + x["mfd"]) + dqsdz * (x["mfu_i"] + x["mfd_i"]))
-        - dqc * rho_i,
-        rho,
-        fd,
-    )
+        - dqc * rho_i
+    ) * fac4
     if c.LREGCL:
         dqc_i_sub = dqc_i_sub * 0.1  # reference :367-368
     dqc_i = jnp.where(lo3, dqc_i_sub, qc_i)
@@ -285,9 +306,14 @@ def tl_level_pre(
 
 
     # melt constants (reference :399-412; the min() against the snow-flux
-    # carry stays in phase B)
-    cons = div(cons2 * dp, lfdcp, fd)
-    cons_i = div(cons2 * (dp_i * lfdcp - dp * lfdcp_i), lfdcp**2.0, fd)
+    # carry stays in phase B).  Division-free as in nl_level_pre: cons =
+    # cons2*dp/lfdcp = (cons2/RLMLT)*dp*zd (lfdcp = RLMLT/zd), its
+    # derivative by the product rule, and the reciprocal the melt
+    # temperature update needs is rcons = 1/cons = dt*gdp*lfdcp exactly
+    cons = (cons2 / c.RLMLT) * dp * zd
+    cons_i = (cons2 / c.RLMLT) * (dp_i * zd + dp * zd_i)
+    rcons = dt * gdp * lfdcp
+    rcons_i = dt * (gdp_i * lfdcp + gdp * lfdcp_i)
     warm = t > meltp2
     z2s = jnp.where(warm, cons * (t - meltp2), 0.0)
     z2s_i = jnp.where(warm, cons_i * (t - meltp2) + cons * t_i, 0.0)
@@ -301,10 +327,14 @@ def tl_level_pre(
         lcrit = 2.0 * c.RCLCRIT
         icrit = 2.0 * c.RCLCRIT
     clc_safe = jnp.where(act, clc, 1.0)
+    # one reciprocal of the cloud fraction serves both species' in-cloud
+    # contents AND their perturbations (6 divides fold into 1; quotient
+    # rule via the shared reciprocal: cldl_i = (qlwc_i - cldl*clc_i)/clc)
+    rclc = rcp(clc_safe, fd)
 
-    cldl = div(qlwc, clc_safe, fd)
-    cldl_i = div(qlwc_i, clc_safe, fd) - div(qlwc * clc_i, clc_safe**2.0, fd)
-    ltmp4 = jnp.exp(-((cldl * (1.0 / lcrit)) ** 2.0))
+    cldl = qlwc * rclc
+    cldl_i = (qlwc_i - cldl * clc_i) * rclc
+    ltmp4 = jnp.exp(-(cldl * cldl * (1.0 / (lcrit * lcrit))))
     dl = ckcodtl * (1.0 - ltmp4)
     ltmp5 = jnp.exp(-dl)
     lfactor = ckcodtla if c.LREGCL else ckcodtl  # reference :444-448
@@ -316,9 +346,9 @@ def tl_level_pre(
     qlwc = qlwc - prr
     qlwc_i = qlwc_i - prr_i
 
-    cldi = div(qiwc, clc_safe, fd)
-    cldi_i = div(qiwc_i, clc_safe, fd) - div(qiwc * clc_i, clc_safe**2.0, fd)
-    itmp41 = jnp.exp(-((cldi * (1.0 / icrit)) ** 2.0))
+    cldi = qiwc * rclc
+    cldi_i = (qiwc_i - cldi * clc_i) * rclc
+    itmp41 = jnp.exp(-(cldi * cldi * (1.0 / (icrit * icrit))))
 
     pre = dict(
         t2=t, t2_i=t_i, q2=q, q2_i=q_i, ql_fg=ql, ql_fg_i=ql_i,
@@ -328,7 +358,7 @@ def tl_level_pre(
         condl1=condl, condl1_i=condl_i, condi1=condi, condi1_i=condi_i,
         qiwc1=qiwc, qiwc1_i=qiwc_i, prr=prr, prr_i=prr_i,
         cldi=cldi, cldi_i=cldi_i, itmp41=itmp41, act=act,
-        cons=cons, cons_i=cons_i, z2s=z2s, z2s_i=z2s_i,
+        rcons=rcons, rcons_i=rcons_i, z2s=z2s, z2s_i=z2s_i,
         lude_s=lude, lude_s_i=lude_i, qsat_sups=qsat, qsat_sups_i=qsat_i,
         tnd_ql=(qlwc - ql) * rdt, tnd_ql_i=(qlwc_i - ql_i) * rdt,
     )
@@ -386,7 +416,7 @@ def tl_level_post(
     prr, prr_i = xp["prr"], xp["prr_i"]
     cldi, cldi_i = xp["cldi"], xp["cldi_i"]
     itmp41, act = xp["itmp41"], xp["act"]
-    cons, cons_i = xp["cons"], xp["cons_i"]
+    rcons, rcons_i = xp["rcons"], xp["rcons_i"]
     z2s, z2s_i = xp["z2s"], xp["z2s_i"]
     # maximum precipitation overlap (reference :388-397)
     grow = clc > covptot
@@ -407,8 +437,10 @@ def tl_level_post(
     rfln_i = jnp.where(melt, rfl_i + snmlt_i, rfl_i)
     sfln = jnp.where(melt, sfl - snmlt, sfl)
     sfln_i = jnp.where(melt, sfl_i - snmlt_i, sfl_i)
-    t_i = jnp.where(melt, t_i - div(snmlt_i * cons - snmlt * cons_i, cons**2.0, fd), t_i)
-    t = jnp.where(melt, t - div(snmlt, cons, fd), t)
+    # rcons = 1/cons exactly (dt*gdp*lfdcp, tl_level_pre), and rcons_i is
+    # its exact derivative — the quotient-rule update becomes a product rule
+    t_i = jnp.where(melt, t_i - (snmlt_i * rcons + snmlt * rcons_i), t_i)
+    t = jnp.where(melt, t - snmlt * rcons, t)
 
     # melt-temperature half of the ice autoconversion (reference :472-503)
     itmp42 = jnp.exp(0.025 * (t - c.RTT))

@@ -374,8 +374,14 @@ def test_pallas_ad_unrolled_matches_rolled_kernel(f32_state_small, unroll):
         s[name + "_i"] = diags_tl[name + "_i"]
     t_ref, d_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
     t_u, d_u = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
+    # scale-relative per field (as the scan-adjoint comparison above): the
+    # two loop structures compile separately, and FMA-contraction
+    # differences flip knife-edge branch predicates on isolated lanes whose
+    # cotangents are ~1e-9 of the field scale — elementwise-relative
+    # comparison is meaningless there, while a padding/carry-handoff bug
+    # would show at O(1) of the field scale
     for ref, got in ((t_ref, t_u), (d_ref, d_u)):
         for n in ref:
-            np.testing.assert_allclose(
-                np.asarray(got[n]), np.asarray(ref[n]), rtol=2e-5, atol=1e-12, err_msg=n
-            )
+            a, b = np.asarray(got[n]), np.asarray(ref[n])
+            scale = np.abs(b).max() + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=n)
