@@ -70,16 +70,18 @@ def cuadjtqs_nl(ap, t, q, c: Constants, rap=None):
     return t, q
 
 
-def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants):
+def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants, qp=None):
     """One TL iteration (reference ``f_cuadjtqs_tl_0``, ``:24-51``).
 
     Strength-reduced: one reciprocal each of ``ap``, ``t - z4es``,
     ``1 - RETV*qsat`` and the condensation denominator serve every quotient
     (the reference spends ~8 divides per iteration on the same four
-    denominators).
+    denominators).  ``qp`` optionally supplies the iteration-invariant
+    ``1/ap`` (hoisted across both iterations by the caller).
     """
     fd = c.FAST_DIV
-    qp = rcp(ap, fd)
+    if qp is None:
+        qp = rcp(ap, fd)
     qp_i = -ap_i * qp * qp
     rt4 = rcp(t - p.z4es, fd)
     foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
@@ -106,8 +108,9 @@ def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants):
 def cuadjtqs_tl(ap, ap_i, t, t_i, q, q_i, c: Constants):
     """Tangent-linear two-iteration saturation adjustment."""
     p = _select_phase(t, c)
-    t, t_i, q, q_i = _tl_iter(ap, ap_i, t, t_i, q, q_i, p, c)
-    t, t_i, q, q_i = _tl_iter(ap, ap_i, t, t_i, q, q_i, p, c)
+    qp = rcp(ap, c.FAST_DIV)  # iteration-invariant: one reciprocal for both
+    t, t_i, q, q_i = _tl_iter(ap, ap_i, t, t_i, q, q_i, p, c, qp)
+    t, t_i, q, q_i = _tl_iter(ap, ap_i, t, t_i, q, q_i, p, c, qp)
     return t, t_i, q, q_i
 
 
