@@ -202,7 +202,7 @@ def build_ad_state(s_tl, tends_tl, diags_tl):
     return s_ad
 
 
-def wait_for_device(attempts: int = 8, delay_s: float = 120.0) -> None:
+def wait_for_device(attempts: int = 20, delay_s: float = 120.0) -> None:
     """Block until the TPU backend initializes in a fresh subprocess.
 
     The remote-TPU tunnel flaps (observed: ~30 min of
