@@ -318,6 +318,15 @@ class Constants:
     #: modes use the TPU hardware reciprocal and are only legal inside the
     #: Pallas kernels; the scan/oracle paths keep the default.
     FAST_DIV: str = "exact"
+    #: predicate-select strategy for the level bodies.  ``False``: branch
+    #: predication as ``jnp.where`` selects.  ``True``: every
+    #: ``where(p, x, 0)``-class site multiplies by a shared float mask
+    #: instead (``fastmath.sel0``) — bit-identical NL/TL outputs, AD
+    #: (the vjp transpose) within ~1e-12 relative from reassociated
+    #: cotangent sums (asserted by
+    #: ``tests/test_nonlinear.py::test_mask_select_bit_exact``), different
+    #: VPU op mix (mul ~1 vs select ~4 measured op-equivalents on v5e).
+    MASK_SELECT: bool = False
 
     def replace(self, **kw: Any) -> "Constants":
         return dataclasses.replace(self, **kw)

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
-from cloudsc2_tpu.physics.fastmath import div, rcp
+from cloudsc2_tpu.physics.fastmath import div, fmask, rcp, sel0
 
 
 class _Phase(NamedTuple):
@@ -88,9 +88,11 @@ def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants, qp=None):
     foeew_i = foeew * p.z3es * t_i * (c.RTT - p.z4es) * rt4 * rt4
     qsat = qp * foeew
     qsat_i = qp_i * foeew + qp * foeew_i
-    clip = qsat > c.ZQMAX
-    qsat = jnp.where(clip, c.ZQMAX, qsat)
-    qsat_i = jnp.where(clip, 0.0, qsat_i)
+    # the value clip is a plain min (the NL form); the perturbation
+    # vanishes on the clipped branch (reference ``:33-35``)
+    noclip = qsat <= c.ZQMAX
+    qsat = jnp.minimum(qsat, c.ZQMAX)
+    qsat_i = sel0(fmask(noclip, qsat) if c.MASK_SELECT else noclip, qsat_i)
     cor = rcp(1.0 - c.RETV * qsat, fd)
     cor_i = c.RETV * qsat_i * cor * cor
     qsat_i = qsat_i * cor + qsat * cor_i

@@ -64,6 +64,35 @@ def div(a, b: jnp.ndarray, mode: str = "exact") -> jnp.ndarray:
         return a / b
     return a * rcp(b, mode)
 
+
+def fmask(p: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Boolean predicate as a float {0, 1} mask in ``ref``'s dtype.
+
+    Used by the ``Constants.MASK_SELECT`` mode of the level bodies: the
+    branch-predication pattern ``where(p, x, 0)`` becomes the multiply
+    ``x * fmask(p, x)`` — bit-exact for finite ``x`` (``x*1 == x``,
+    ``x*0 == 0``) and one VPU multiply instead of a vector select
+    (measured ~4 op-equivalents on v5e, ``benchmarks/microbench_ops.py``).
+    The conversion is paid once per predicate and shared by every select
+    on it (the TL body pairs each forward select with a perturbation
+    select on the same predicate).
+    """
+    return p.astype(ref.dtype)
+
+
+def sel0(p_or_m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """``where(p, x, 0)`` — select on a bool predicate, multiply on a mask.
+
+    Callers pass either the raw boolean predicate (``MASK_SELECT=False``:
+    lowers to a vector select) or its :func:`fmask` (``MASK_SELECT=True``:
+    lowers to a multiply).  The two forms are bit-identical for finite
+    ``x``; the additive-update pattern ``where(p, a+b, a)`` is written
+    ``a + sel0(p, b)`` (identical up to the sign of a zero).
+    """
+    if p_or_m.dtype == jnp.bool_:
+        return jnp.where(p_or_m, x, jnp.zeros_like(x))
+    return x * p_or_m
+
 LOG2E = 1.4426950408889634
 # Cody-Waite split of ln2: hi has its low mantissa bits zeroed so k*LN2_HI
 # is exact for |k| < 2^15; lo carries the remainder

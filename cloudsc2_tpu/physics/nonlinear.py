@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics import fcttre
-from cloudsc2_tpu.physics.fastmath import div, rcp
+from cloudsc2_tpu.physics.fastmath import div, fmask, rcp, sel0
 from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_nl
 
 Array = jnp.ndarray
@@ -232,6 +232,7 @@ def nl_level_pre(
     pre.update(crh2=crh2, supsat_fac=supsat_fac, qsat_sups=qsat, qcrit=qcrit)
 
     # Letreut & Li (1990) uniform-distribution cloud cover (reference :195-207)
+    ms = c.MASK_SELECT
     qt = q + ql + qi
     low = qt < qcrit
     high = qt >= qsat
@@ -244,12 +245,22 @@ def nl_level_pre(
     # mid regime) but not under rounding — a divide/reciprocal ulp can push
     # it past 1 and drive clc = 1 - sqrt(ratio) negative; clamp to keep the
     # clc \in [0, 1] invariant under every divide strategy
-    ratio = jnp.minimum(jnp.where(mid, div(qpd, denom_safe, fd), 0.0), 1.0)
+    mid_ = fmask(mid, qpd) if ms else mid
+    ratio = jnp.minimum(sel0(mid_, div(qpd, denom_safe, fd)), 1.0)
     tmp3 = jnp.sqrt(ratio)
     clc_mid = 1.0 - tmp3
     qc_mid = (scalm * qpd + (1.0 - scalm) * qcd) * clc_mid**2.0
-    clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
-    qc = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat - qcrit), qc_mid))
+    qc_high = (1.0 - scalm) * (qsat - qcrit)
+    if ms:
+        # exclusive regime masks: exactly one of (low, high, mid) holds per
+        # lane, so the nested selects become sums of masked products —
+        # bit-identical (each product is finite, one mask is 1)
+        high_ = fmask(high, qpd)
+        clc = high_ + mid_ * clc_mid
+        qc = high_ * qc_high + mid_ * qc_mid
+    else:
+        clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
+        qc = jnp.where(low, 0.0, jnp.where(high, qc_high, qc_mid))
     pre.update(
         qt=qt, low=low, high=high, mid=mid, qpd=qpd, qcd=qcd,
         denom_safe=denom_safe, tmp3=tmp3, clc1=clc, qc1=qc,
@@ -260,10 +271,11 @@ def nl_level_pre(
     lude = dt * x["lude"] * gdp
     lu1 = x["lu_next"]
     lo1 = (lude >= c.RLMIN) & (lu1 >= c.ZEPS2)
+    lo1_ = fmask(lo1, lude) if ms else lo1
     lu1_safe = jnp.where(lo1, lu1, 1.0)
     tmp2 = jnp.exp(div(-lude, lu1_safe, fd))
-    clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
-    qc = jnp.where(lo1, qc + lude, qc)
+    clc = clc + sel0(lo1_, (1.0 - clc) * (1.0 - tmp2))
+    qc = qc + sel0(lo1_, lude)
     pre.update(gdp=gdp, lude_s=lude, lo1=lo1, lu1_safe=lu1_safe, tmp2=tmp2, clc=clc, qc2=qc)
 
     # compensating subsidence (reference :217-224); fac4 = 1/rho = RD*t/ap
@@ -279,7 +291,9 @@ def nl_level_pre(
     sub = dt * dqsdz * (x["mfu"] + x["mfd"]) * fac4
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
-    qc = qc - dqc
+    # qc - dqc == where(lo3, qc - sub, 0): one masked subtract; the dqc
+    # select above survives only for aux (dead code in the kernels)
+    qc = sel0(fmask(lo3, qc) if ms else lo3, qc - sub)
     pre.update(
         fac1=fac1, rho=rho, fac2=fac2, rodqsdp=rodqsdp, ldcp=ldcp, fac3=fac3,
         dtdzmo=dtdzmo, dqsdz=dqsdz, fac4=fac4, lo3=lo3, dqc=dqc, qc3=qc,
@@ -316,6 +330,7 @@ def nl_level_pre(
         icrit = 2.0 * c.RCLCRIT
     # one reciprocal of the cloud fraction serves both species, and the
     # static crit thresholds divide at compile time
+    act_ = fmask(act, clc) if ms else act
     clc_safe = jnp.where(act, clc, 1.0)
     rclc = rcp(clc_safe, fd)
     cldl = qlwc * rclc
@@ -327,7 +342,7 @@ def nl_level_pre(
     # clc*(qlwc/clc) rounds past qlwc when ltmp2 ~ 1; clamp so the rain
     # increment — and hence the accumulated fplsl flux — stays >= 0 under
     # every divide strategy
-    prr = jnp.where(act, jnp.maximum(qlwc - qlnew, 0.0), 0.0)
+    prr = sel0(act_, jnp.maximum(qlwc - qlnew, 0.0))
     qlwc = qlwc - prr
     cldi = qiwc * rclc
     itmp11 = jnp.exp(-(cldi * cldi * (1.0 / (icrit * icrit))))
@@ -368,6 +383,7 @@ def nl_level_post(
     """
     rfl, sfl, covptot = carry
     fd = c.FAST_DIV
+    ms = c.MASK_SELECT
     cons2 = 1.0 / (c.RG * dt)
     ckcodti = 5.0 * c.RKCONV * dt
     rdt = 1.0 / dt
@@ -407,12 +423,14 @@ def nl_level_post(
     covpclr = jnp.maximum(covpclr1, 0.0)
     aux.update(covptot_in=covptot_in, covptot1=covptot, covpclr1=covpclr1, covpclr=covpclr)
 
-    # melting of incoming snow (reference :237-246)
+    # melting of incoming snow (reference :237-246).  The three selects on
+    # ``melt`` share one gated increment: where(melt, x+y, x) == x + sel0(y)
     melt = sfl != 0.0
     snmlt = jnp.minimum(sfl, xp["z2s"])
-    rfln = jnp.where(melt, rfl + snmlt, rfl)
-    sfln = jnp.where(melt, sfl - snmlt, sfl)
-    t = jnp.where(melt, t - snmlt * rcons, t)
+    sm = sel0(fmask(melt, sfl) if ms else melt, snmlt)
+    rfln = rfl + sm
+    sfln = sfl - sm
+    t = t - sm * rcons
     aux.update(melt=melt, snmlt=snmlt, t_melt=t)
 
     # melt-temperature half of the snow autoconversion (reference :264-272)
@@ -426,15 +444,17 @@ def nl_level_post(
     di = ckcodti * itmp12 * (1.0 - itmp11)
     itmp2 = jnp.exp(-di)
     qinew = clc * xp["cldi"] * itmp2
-    prs = jnp.where(act, jnp.maximum(qiwc - qinew, 0.0), 0.0)
+    act_ = fmask(act, clc) if ms else act
+    prs = sel0(act_, jnp.maximum(qiwc - qinew, 0.0))
     qiwc = qiwc - prs
     aux.update(itmp12=itmp12, itmp2=itmp2, qiwc=qiwc, prs=prs)
 
     # new precipitation and rain fraction (reference :274-285)
     dr1 = cons2 * dp * (prr + prs)
     coldt = t < c.RTT
-    rfreeze = jnp.where(coldt, cons2 * dp * prr, 0.0)
-    fwatr1 = jnp.where(coldt, 0.0, 1.0)
+    coldt_ = fmask(coldt, t) if ms else coldt
+    rfreeze = sel0(coldt_, cons2 * dp * prr)
+    fwatr1 = 1.0 - coldt_ if ms else jnp.where(coldt, 0.0, 1.0)
     rfln = rfln + fwatr1 * dr1
     sfln = sfln + (1.0 - fwatr1) * dr1
     aux.update(dr1=dr1, coldt=coldt, rfreeze1=rfreeze, fwatr1=fwatr1, rfln2=rfln, sfln2=sfln)
@@ -503,11 +523,14 @@ def nl_level_post(
     # stencils.  (The reference AD forward recompute branches on the
     # pre-adjustment t3 at adjoint/_stencils/cloudsc2.py:427 instead; we keep
     # the NL/TL convention so the adjoint is the exact transpose of the TL.)
-    dq = jnp.where(qold1 >= q, qold1 - q, 0.0)
+    # qold1 >= q iff qold1 - q >= 0 (IEEE subtraction preserves sign), so
+    # the guarded difference is a single max
+    dq = jnp.maximum(qold1 - q, 0.0)
     dr2 = cons2 * dp * dq
     coldt2 = t < c.RTT
-    rfreeze2 = jnp.where(coldt2, fwat * dr2, 0.0)
-    fwatr2 = jnp.where(coldt2, 0.0, 1.0)
+    coldt2_ = fmask(coldt2, t) if ms else coldt2
+    rfreeze2 = sel0(coldt2_, fwat * dr2)
+    fwatr2 = 1.0 - coldt2_ if ms else jnp.where(coldt2, 0.0, 1.0)
     rn = fwatr2 * dr2
     sn = (1.0 - fwatr2) * dr2
     condl2 = condl + fwatr2 * dq * rdt

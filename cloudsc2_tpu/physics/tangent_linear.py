@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_tl
-from cloudsc2_tpu.physics.fastmath import div, rcp
+from cloudsc2_tpu.physics.fastmath import div, fmask, rcp, sel0
 from cloudsc2_tpu.physics.nonlinear import critical_rh, prepare_level_inputs, tropopause_eta
 
 Array = jnp.ndarray
@@ -124,12 +124,13 @@ def tl_level_pre(
     lvdcp_i = c.RLVTT * zz_i
 
     # dqs/dT correction factor; always the tanh branch here (reference :189-222)
+    ms = c.MASK_SELECT
     cold = t < c.RTT
     # sech^2 = 1 - tanh^2 (the reference's 1/cosh^2, :196; tanh-based so the
     # Pallas/Mosaic lowering needs no cosh primitive)
     th = jnp.tanh(0.17 * (t - c.RLPTRC))
     fwat = jnp.where(cold, 0.545 * (th + 1.0), 1.0)
-    fwat_i = jnp.where(cold, 0.545 * 0.17 * t_i * (1.0 - th * th), 0.0)
+    fwat_i = sel0(fmask(cold, t) if ms else cold, 0.545 * 0.17 * t_i * (1.0 - th * th))
     z3es = jnp.where(cold, c.R3IES, c.R3LES)
     z4es = jnp.where(cold, c.R4IES, c.R4LES)
     # one reciprocal each of (t - R4LES) and (t - R4IES) serves the
@@ -145,9 +146,11 @@ def tl_level_pre(
     foeew_i = z3es * (c.RTT - z4es) * t_i * foeew * (rz4es * rz4es)
     esdp = foeew * rap
     esdp_i = (foeew_i - esdp * ap_i) * rap
-    clip_esdp = esdp > c.ZQMAX
-    esdp = jnp.where(clip_esdp, c.ZQMAX, esdp)
-    esdp_i = jnp.where(clip_esdp, 0.0, esdp_i)
+    # where(esdp > ZQMAX, ZQMAX, esdp) is a plain min (the NL form); the
+    # perturbation vanishes on the clipped branch
+    noclip = esdp <= c.ZQMAX
+    esdp = jnp.minimum(esdp, c.ZQMAX)
+    esdp_i = sel0(fmask(noclip, esdp) if ms else noclip, esdp_i)
 
     facw = c.R5LES * (rl * rl)
     facw_i = -2.0 * c.R5LES * t_i * (rl * rl * rl)
@@ -162,9 +165,10 @@ def tl_level_pre(
     corqs = 1.0 + cons3 * dqsdtemp
     corqs_i = cons3 * dqsdtemp_i
 
-    # clipped state (reference :224-230)
+    # clipped state (reference :224-230); the value select is a plain min
+    # (the NL form), the perturbation select stays two-sided
     overs = q > qsat_in
-    qlim = jnp.where(overs, qsat_in, q)
+    qlim = jnp.minimum(q, qsat_in)
     qlim_i = jnp.where(overs, qsat_in_i, q_i)
 
     # critical humidity and ice supersaturation (reference :232-265)
@@ -174,7 +178,7 @@ def tl_level_pre(
     crh2 = critical_rh(x["eta"], trpaus, coeffs)
     cold_ice = t < c.RTICE
     supsat_fac = jnp.where(cold_ice, 1.8 - 0.003 * t, 1.0)
-    supsat_fac_i = jnp.where(cold_ice, -0.003 * t_i, 0.0)
+    supsat_fac_i = sel0(fmask(cold_ice, t) if ms else cold_ice, -0.003 * t_i)
     qsat = qsat_in * supsat_fac
     qsat_i = qsat_in_i * supsat_fac + qsat_in * supsat_fac_i
     qcrit = crh2 * qsat
@@ -195,7 +199,8 @@ def tl_level_pre(
     # one reciprocal of the safe denominator serves the ratio and the
     # quotient-rule term of its perturbation
     rdenom = rcp(denom_safe, fd)
-    ratio = jnp.where(mid, qpd * rdenom, 0.0)
+    mid_ = fmask(mid, qpd) if ms else mid
+    ratio = sel0(mid_, qpd * rdenom)
     tmp1 = jnp.sqrt(ratio)
     clc_mid = 1.0 - tmp1
     # 1/tmp1 as a single rsqrt of the guarded ratio (one VPU op instead of
@@ -226,10 +231,21 @@ def tl_level_pre(
         scalm * qpd + (1.0 - scalm) * qcd
     ) * clc_mid * clc_mid_i
 
-    clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
-    clc_i = jnp.where(low, 0.0, jnp.where(high, 0.0, clc_mid_i))
-    qc = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat - qcrit), qc_mid))
-    qc_i = jnp.where(low, 0.0, jnp.where(high, (1.0 - scalm) * (qsat_i - qcrit_i), qc_mid_i))
+    qc_high = (1.0 - scalm) * (qsat - qcrit)
+    qc_high_i = (1.0 - scalm) * (qsat_i - qcrit_i)
+    if ms:
+        # exclusive regime masks (see nl_level_pre): one mask conversion
+        # pair replaces eight vector selects, bit-identically
+        high_ = fmask(high, qpd)
+        clc = high_ + mid_ * clc_mid
+        clc_i = mid_ * clc_mid_i
+        qc = high_ * qc_high + mid_ * qc_mid
+        qc_i = high_ * qc_high_i + mid_ * qc_mid_i
+    else:
+        clc = jnp.where(low, 0.0, jnp.where(high, 1.0, clc_mid))
+        clc_i = jnp.where(low, 0.0, jnp.where(high, 0.0, clc_mid_i))
+        qc = jnp.where(low, 0.0, jnp.where(high, qc_high, qc_mid))
+        qc_i = jnp.where(low, 0.0, jnp.where(high, qc_high_i, qc_mid_i))
 
     # convective component (reference :308-325); one reciprocal each of dp
     # and lu1_safe serves value + perturbation (5 divides fold into 2)
@@ -247,10 +263,11 @@ def tl_level_pre(
     clc_i_conv = -clc_i * (1.0 - tmp2) + (1.0 - clc) * tmp2 * (
         (lude_i - lude * lu1_i * rlu1) * rlu1
     )
-    clc_i = jnp.where(lo1, clc_i + clc_i_conv, clc_i)
-    clc = jnp.where(lo1, clc + (1.0 - clc) * (1.0 - tmp2), clc)
-    qc = jnp.where(lo1, qc + lude, qc)
-    qc_i = jnp.where(lo1, qc_i + lude_i, qc_i)
+    lo1_ = fmask(lo1, lude) if ms else lo1
+    clc_i = clc_i + sel0(lo1_, clc_i_conv)
+    clc = clc + sel0(lo1_, (1.0 - clc) * (1.0 - tmp2))
+    qc = qc + sel0(lo1_, lude)
+    qc_i = qc_i + sel0(lo1_, lude_i)
 
     # compensating subsidence (reference :327-373); 1/t = RD*fac1 and
     # 1/rho = RD*t*rap (nl_level_pre's fac4), so the rho_i quotient term
@@ -289,9 +306,11 @@ def tl_level_pre(
     ) * fac4
     if c.LREGCL:
         dqc_i_sub = dqc_i_sub * 0.1  # reference :367-368
-    dqc_i = jnp.where(lo3, dqc_i_sub, qc_i)
-    qc = qc - dqc
-    qc_i = qc_i - dqc_i
+    # qc - dqc == where(lo3, qc - sub, 0) and likewise for the
+    # perturbation: two masked subtracts instead of select+subtract pairs
+    lo3_ = fmask(lo3, qc) if ms else lo3
+    qc = sel0(lo3_, qc - sub)
+    qc_i = sel0(lo3_, qc_i - dqc_i_sub)
 
     # new condensate and condensation rates (reference :375-386)
     qlwc = qc * fwat
@@ -314,9 +333,10 @@ def tl_level_pre(
     cons_i = (cons2 / c.RLMLT) * (dp_i * zd + dp * zd_i)
     rcons = dt * gdp * lfdcp
     rcons_i = dt * (gdp_i * lfdcp + gdp * lfdcp_i)
+    # z2s as the NL form cons*max(t - meltp2, 0) (bit-identical: cons >= 0)
     warm = t > meltp2
-    z2s = jnp.where(warm, cons * (t - meltp2), 0.0)
-    z2s_i = jnp.where(warm, cons_i * (t - meltp2) + cons * t_i, 0.0)
+    z2s = cons * jnp.maximum(t - meltp2, 0.0)
+    z2s_i = sel0(fmask(warm, t) if ms else warm, cons_i * (t - meltp2) + cons * t_i)
 
     # autoconversion of cloud water/ice (reference :429-503)
     act = clc > c.ZEPS2
@@ -341,8 +361,9 @@ def tl_level_pre(
     dl_i = (2.0 * lfactor / lcrit**2.0) * ltmp4 * cldl * cldl_i
     qlnew = clc * cldl * ltmp5
     qlnew_i = clc_i * cldl * ltmp5 + clc * cldl_i * ltmp5 - clc * cldl * ltmp5 * dl_i
-    prr = jnp.where(act, qlwc - qlnew, 0.0)
-    prr_i = jnp.where(act, qlwc_i - qlnew_i, 0.0)
+    act_ = fmask(act, clc) if ms else act
+    prr = sel0(act_, qlwc - qlnew)
+    prr_i = sel0(act_, qlwc_i - qlnew_i)
     qlwc = qlwc - prr
     qlwc_i = qlwc_i - prr_i
 
@@ -418,29 +439,36 @@ def tl_level_post(
     itmp41, act = xp["itmp41"], xp["act"]
     rcons, rcons_i = xp["rcons"], xp["rcons_i"]
     z2s, z2s_i = xp["z2s"], xp["z2s_i"]
-    # maximum precipitation overlap (reference :388-397)
+    ms = c.MASK_SELECT
+    # maximum precipitation overlap (reference :388-397); the value selects
+    # are plain max forms (the NL shapes), the perturbation selects keep
+    # their predicates
     grow = clc > covptot
-    covptot = jnp.where(grow, clc, covptot)
+    covptot = jnp.maximum(covptot, clc)
     covptot_i = jnp.where(grow, clc_i, covptot_i)
-    covpclr = covptot - clc
-    covpclr_i = covptot_i - clc_i
-    neg = covpclr < 0.0
-    covpclr = jnp.where(neg, 0.0, covpclr)
-    covpclr_i = jnp.where(neg, 0.0, covpclr_i)
+    covpclr1 = covptot - clc
+    pos = covpclr1 >= 0.0
+    covpclr = jnp.maximum(covpclr1, 0.0)
+    covpclr_i = sel0(fmask(pos, covpclr1) if ms else pos, covptot_i - clc_i)
 
-    # melting of incoming snow (reference :399-427)
+    # melting of incoming snow (reference :399-427).  The six selects on
+    # ``melt`` share one gated increment pair: where(melt, x+y, x) ==
+    # x + sel0(y); the snmlt value select is a plain min (the NL form)
     melt = sfl != 0.0
     take_sfl = sfl <= z2s
-    snmlt = jnp.where(take_sfl, sfl, z2s)
+    snmlt = jnp.minimum(sfl, z2s)
     snmlt_i = jnp.where(take_sfl, sfl_i, z2s_i)
-    rfln = jnp.where(melt, rfl + snmlt, rfl)
-    rfln_i = jnp.where(melt, rfl_i + snmlt_i, rfl_i)
-    sfln = jnp.where(melt, sfl - snmlt, sfl)
-    sfln_i = jnp.where(melt, sfl_i - snmlt_i, sfl_i)
+    melt_ = fmask(melt, sfl) if ms else melt
+    sm = sel0(melt_, snmlt)
+    smi = sel0(melt_, snmlt_i)
+    rfln = rfl + sm
+    rfln_i = rfl_i + smi
+    sfln = sfl - sm
+    sfln_i = sfl_i - smi
     # rcons = 1/cons exactly (dt*gdp*lfdcp, tl_level_pre), and rcons_i is
     # its exact derivative — the quotient-rule update becomes a product rule
-    t_i = jnp.where(melt, t_i - (snmlt_i * rcons + snmlt * rcons_i), t_i)
-    t = jnp.where(melt, t - snmlt * rcons, t)
+    t_i = t_i - (smi * rcons + sm * rcons_i)
+    t = t - sm * rcons
 
     # melt-temperature half of the ice autoconversion (reference :472-503)
     itmp42 = jnp.exp(0.025 * (t - c.RTT))
@@ -452,8 +480,9 @@ def tl_level_post(
     )
     qinew = clc * cldi * itmp5
     qinew_i = clc_i * cldi * itmp5 + clc * cldi_i * itmp5 - clc * cldi * itmp5 * di_i
-    prs = jnp.where(act, qiwc - qinew, 0.0)
-    prs_i = jnp.where(act, qiwc_i - qinew_i, 0.0)
+    act_ = fmask(act, clc) if ms else act
+    prs = sel0(act_, qiwc - qinew)
+    prs_i = sel0(act_, qiwc_i - qinew_i)
     qiwc = qiwc - prs
     qiwc_i = qiwc_i - prs_i
 
@@ -461,9 +490,10 @@ def tl_level_post(
     dr = cons2 * dp * (prr + prs)
     dr_i = cons2 * (dp_i * (prr + prs) + dp * (prr_i + prs_i))
     coldt = t < c.RTT
-    rfreeze = jnp.where(coldt, cons2 * dp * prr, 0.0)
-    rfreeze_i = jnp.where(coldt, cons2 * (dp_i * prr + dp * prr_i), 0.0)
-    fwatr = jnp.where(coldt, 0.0, 1.0)
+    coldt_ = fmask(coldt, t) if ms else coldt
+    rfreeze = sel0(coldt_, cons2 * dp * prr)
+    rfreeze_i = sel0(coldt_, cons2 * (dp_i * prr + dp * prr_i))
+    fwatr = 1.0 - coldt_ if ms else jnp.where(coldt, 0.0, 1.0)
     rfln = rfln + fwatr * dr
     rfln_i = rfln_i + fwatr * dr_i
     sfln = sfln + (1.0 - fwatr) * dr
@@ -614,19 +644,23 @@ def tl_level_post(
 
     # clipping of final qv (reference :661-673)
     t, t_i, q, q_i = cuadjtqs_tl(ap, ap_i, t, t_i, q, q_i, c)
+    # qold >= q iff qold - q >= 0 (IEEE subtraction preserves sign): the
+    # guarded difference is a single max; the gated dq_i is zero on the
+    # unclipped branch already, so the LREGCL damping needs no select
     clipped = qold >= q
-    dq = jnp.where(clipped, qold - q, 0.0)
-    dq_i = jnp.where(clipped, qold_i - q_i, 0.0)
+    dq = jnp.maximum(qold - q, 0.0)
+    dq_i = sel0(fmask(clipped, q) if ms else clipped, qold_i - q_i)
     if c.LREGCL:
-        dq_i = jnp.where(clipped, dq_i * 0.7, dq_i)  # reference :667-668
+        dq_i = dq_i * 0.7  # reference :667-668
     dr2 = cons2 * dp * dq
     dr2_i = cons2 * (dp_i * dq + dp * dq_i)
 
     # update rain fraction and freezing (reference :675-703)
     coldt2 = t < c.RTT
-    rfreeze2 = jnp.where(coldt2, fwat * dr2, 0.0)
-    rfreeze2_i = jnp.where(coldt2, fwat_i * dr2 + fwat * dr2_i, 0.0)
-    fwatr2 = jnp.where(coldt2, 0.0, 1.0)
+    coldt2_ = fmask(coldt2, t) if ms else coldt2
+    rfreeze2 = sel0(coldt2_, fwat * dr2)
+    rfreeze2_i = sel0(coldt2_, fwat_i * dr2 + fwat * dr2_i)
+    fwatr2 = 1.0 - coldt2_ if ms else jnp.where(coldt2, 0.0, 1.0)
     rn = fwatr2 * dr2
     rn_i = fwatr2 * dr2_i
     sn = (1.0 - fwatr2) * dr2

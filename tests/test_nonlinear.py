@@ -122,3 +122,54 @@ def test_fast_exp_faithful():
     # f64 passes through bit-exactly to the platform exp
     x64 = jnp.asarray(np.array([0.5, -3.0, 10.0]), jnp.float64)
     np.testing.assert_array_equal(np.asarray(fast_exp(x64)), np.exp(np.asarray(x64)))
+
+
+def test_mask_select_bit_exact(state_with_qsat):
+    """``Constants.MASK_SELECT=True`` (float-mask multiplies instead of
+    vector selects at every ``where(p, x, 0)``-class site in the level
+    bodies) is bit-identical to the default select lowering for NL and TL,
+    with and without LREGCL.  The AD is ``jax.vjp`` of the TL, and the
+    mask-mode forward graph transposes to a differently-associated
+    cotangent accumulation — identical to ~1e-12 relative (measured worst,
+    LREGCL on, amplified through the two cuadjtqs iterations), asserted at
+    rtol=1e-11."""
+    from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+
+    _, state, dt = state_with_qsat
+    s_tl = dict(state)
+    s_tl.update(state_increment(state, 0.01))
+
+    for lregcl in (True, False):
+        c0 = make_constants(lphylin=True, ldrain1d=False, lregcl=lregcl)
+        c1 = c0.replace(MASK_SELECT=True)
+
+        for pair0, pair1, tag in [
+            (cloudsc2_nl(state, dt, c0), cloudsc2_nl(state, dt, c1), "nl"),
+            (cloudsc2_tl(s_tl, dt, c0), cloudsc2_tl(s_tl, dt, c1), "tl"),
+        ]:
+            for d0, d1 in zip(pair0, pair1):
+                assert d0.keys() == d1.keys()
+                for k in d0:
+                    np.testing.assert_array_equal(
+                        np.asarray(d0[k]), np.asarray(d1[k]),
+                        err_msg=f"{tag}/{k} lregcl={lregcl}",
+                    )
+
+        # AD: seed with the TL outputs the way the symmetry test does
+        s_ad = dict(s_tl)
+        tends_tl, diags_tl = cloudsc2_tl(s_tl, dt, c0)
+        for n in ("t", "q", "ql", "qi"):
+            s_ad["tnd_" + n] = tends_tl[n]
+            s_ad["tnd_" + n + "_i"] = tends_tl[n + "_i"]
+        for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+            s_ad[n + "_i"] = diags_tl[n + "_i"]
+        for d0, d1 in zip(cloudsc2_ad(s_ad, dt, c0), cloudsc2_ad(s_ad, dt, c1)):
+            assert d0.keys() == d1.keys()
+            for k in d0:
+                np.testing.assert_allclose(
+                    np.asarray(d0[k]), np.asarray(d1[k]),
+                    rtol=1e-11, atol=1e-16,
+                    err_msg=f"ad/{k} lregcl={lregcl}",
+                )
