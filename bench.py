@@ -202,32 +202,55 @@ def build_ad_state(s_tl, tends_tl, diags_tl):
     return s_ad
 
 
-def wait_for_device(attempts: int = 20, delay_s: float = 120.0) -> None:
+def wait_for_device(attempts: int = 20, delay_s: float = 120.0) -> bool:
     """Block until the TPU backend initializes in a fresh subprocess.
 
     The remote-TPU tunnel flaps (observed: ~30 min of
-    ``Unable to initialize backend 'axon': UNAVAILABLE``); a failed init
-    may be cached by xla_bridge in-process, so probe in subprocesses and
-    only touch the backend here once a probe succeeds.  Falls through
-    after ``attempts`` so the one-JSON-line contract still produces a
-    (CPU or error) result rather than hanging the driver."""
+    ``Unable to initialize backend 'axon': UNAVAILABLE``, and multi-hour
+    windows where the client constructor blocks instead of failing); a
+    failed init may be cached by xla_bridge in-process, so probe in
+    subprocesses and only touch the backend here once a probe succeeds.
+    Returns False after ``attempts`` so the one-JSON-line contract still
+    produces an error result rather than hanging the driver."""
     import subprocess
     import sys
 
     for i in range(attempts):
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True,
-            timeout=600,
-        )
-        if probe.returncode == 0:
-            return
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=600,
+            )
+            if probe.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            # second observed outage mode: the axon client constructor
+            # BLOCKS instead of failing fast — the subprocess probe is
+            # killed by the timeout and counts as a failed attempt
+            pass
         if i < attempts - 1:
             time.sleep(delay_s)
+    return False
 
 
 def main() -> None:
-    wait_for_device()
+    if not wait_for_device():
+        # the chip never answered: touching the backend would hang the
+        # driver indefinitely (the axon client constructor blocks while
+        # the tunnel is down) — honor the one-JSON-line contract instead
+        print(
+            json.dumps(
+                {
+                    "metric": "nl_columns_per_sec",
+                    "value": 0.0,
+                    "unit": "columns/s",
+                    "vs_baseline": 0.0,
+                    "error": "TPU unavailable: device probe failed for all attempts",
+                }
+            )
+        )
+        return
     c = make_constants(lphylin=True, ldrain1d=False)
     state, dt = build_nl_state()
 

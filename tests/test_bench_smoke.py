@@ -62,3 +62,19 @@ def test_roofline_denominator():
     bpc = bench.bytes_per_column(137, 4)
     assert bpc == 4 * ((14 + 6) * 137 + (1 + 4) * 138)
     assert bench.device_bandwidth() > 0
+
+
+def test_unavailable_device_still_prints_one_json_line(monkeypatch, capsys):
+    """With the tunnel down for every probe attempt, main() must emit the
+    single JSON line (error form) instead of touching the backend — the
+    observed outage mode BLOCKS in the axon client constructor, which
+    would hang the driver."""
+    import json
+
+    monkeypatch.setattr(bench, "wait_for_device", lambda **kw: False)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "nl_columns_per_sec" and "error" in rec
+    assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
