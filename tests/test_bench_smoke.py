@@ -78,3 +78,23 @@ def test_unavailable_device_still_prints_one_json_line(monkeypatch, capsys):
     rec = json.loads(lines[0])
     assert rec["metric"] == "nl_columns_per_sec" and "error" in rec
     assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+
+
+def test_wait_for_device_survives_blocking_probe(monkeypatch):
+    """A probe subprocess that exceeds its timeout (the blocking outage
+    mode) must count as a failed attempt, not raise out of
+    wait_for_device."""
+    import subprocess
+
+    calls = {"n": 0}
+
+    def fake_run(*a, **kw):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=kw.get("timeout", 0))
+
+    # wait_for_device does a function-local ``import subprocess``, so
+    # patching the module attribute covers it
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.wait_for_device(attempts=3, delay_s=0.0) is False
+    assert calls["n"] == 3
