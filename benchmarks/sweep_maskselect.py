@@ -94,8 +94,23 @@ def sample(kernel, ms):
     return (tl - ts) / (LONG - SHORT)
 
 
+KERNELS = {"nl": cloudsc2_nl_pallas, "tl": cloudsc2_tl_pallas, "ad": cloudsc2_ad_pallas}
+
 for kernel in ("nl", "tl", "ad"):
     try:
+        # compiled-Mosaic cross-check: the two lowerings must agree on
+        # hardware too (interpret-mode bit-equality is asserted in tests;
+        # AD tolerance covers the reassociated vjp accumulation)
+        outs = {}
+        for ms in (False, True):
+            tends, _d = KERNELS[kernel](state, dt, CONSTS[ms])
+            outs[ms] = {k: np.asarray(v) for k, v in tends.items()}
+        worst = max(
+            float(np.max(np.abs(outs[False][k] - outs[True][k])
+                         / np.maximum(np.abs(outs[False][k]), 1e-30)))
+            for k in outs[False]
+        )
+        assert worst < (1e-5 if kernel == "ad" else 1e-30), (kernel, worst)
         t0 = time.time()
         for ms in (False, True):  # compile both before timing either
             fetch(chain(state, SHORT, kernel, ms))
