@@ -90,8 +90,12 @@ def _assert_finite(tree, label):
 
 @pytest.mark.parametrize("case", CASES)
 @pytest.mark.parametrize("dtype", [np.float64, np.float32])
-def test_nl_finite(case, dtype):
-    c = make_constants(lphylin=True, ldrain1d=False)
+@pytest.mark.parametrize("mask_select", [False, True])
+def test_nl_finite(case, dtype, mask_select):
+    # mask_select=True is the high-risk lowering here: a masked-out lane
+    # that evaluates to inf/NaN survives a 0*x multiply (select would
+    # discard it), so the guarded-operand invariant must hold lane-exactly
+    c = make_constants(lphylin=True, ldrain1d=False).replace(MASK_SELECT=mask_select)
     s, dt = _base_state(dtype)
     s = _finalize(_mutate(s, case, c), c)
     tends, diags = cloudsc2_nl(s, dt, c)
@@ -104,8 +108,9 @@ def test_nl_finite(case, dtype):
 
 
 @pytest.mark.parametrize("case", CASES)
-def test_tl_ad_finite(case):
-    c = make_constants(lphylin=True, ldrain1d=False)
+@pytest.mark.parametrize("mask_select", [False, True])
+def test_tl_ad_finite(case, mask_select):
+    c = make_constants(lphylin=True, ldrain1d=False).replace(MASK_SELECT=mask_select)
     s, dt = _base_state(np.float64)
     s = _finalize(_mutate(s, case, c), c)
     s.update(state_increment(s, 0.01, ignore_supsat=True))
