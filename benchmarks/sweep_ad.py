@@ -1,8 +1,9 @@
 """Sweep KB/WB for the AD (fwd trajectory + reverse transpose) kernels.
 
-Measured on v5e: kb=16/wb=256 (default) 7.65M cols/s; kb=8 variants ~10%
-slower.  NOTE the two chain-timing pitfalls documented in the step
-dependence comment below and in CLAUDE.md.
+Measured on v5e (round-2 final, post strength-reduction + stream folding):
+kb=8/wb=512 (default) 9.03M cols/s; 16/256 8.84M; 8/256 8.72M.
+NOTE the two chain-timing pitfalls documented in the step dependence
+comment below and in CLAUDE.md.
 """
 import time, json
 import jax

@@ -1,7 +1,8 @@
 """Sweep KB/WB for the TL Pallas kernel on a TPU.
 
-Measured on v5e: kb=8/wb=256 (default) 8.78M cols/s; 16/256 8.67M;
-8/512 8.53M; 4/512 7.81M.
+Measured on v5e (round-2 final, post strength-reduction + stream folding):
+kb=8/wb=512 (default) 9.42M cols/s; 16/256 9.31M; 8/256 9.35M; 4/512 9.05M.
+(Pre-reduction round-1 numbers: 8/256 8.78M; 16/256 8.67M; 8/512 8.53M.)
 """
 import time, json
 import jax
