@@ -1,8 +1,12 @@
 """Sweep KB/WB/unroll for the NL Pallas kernel on a TPU.
 
-Measured on v5e (65,536 cols x 137 levels, f32): all variants within 1% of
-15.7M cols/s -- the kernel is VPU-op-bound; unrolling and tile changes do
-not move it.  kb=32 or full unroll at kb=16 exceeds VMEM/compiler limits.
+Measured on v5e (65,536 cols x 137 levels, f32), round-2 final (post
+stream-folding + strength reduction): kb=16/wb=512/unroll=2 (default)
+18.82M cols/s; 24/512/2 18.61M; 8/512/2 18.44M; 8/1024/2 18.43M;
+16/512/1 18.22M; 16/256/2 17.79M.  kb=24 now compiles (the stream folding
+freed VMEM) but does not beat the default; kb=32 still crashes the remote
+Mosaic compiler, with or without unroll.  Pre-folding round-1 numbers:
+all variants within 1% of 15.7M.
 Run with PYTHONPATH set so the package resolves: see benchmarks/README.md.
 """
 import time, json
