@@ -47,7 +47,9 @@ from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
 NCOLS = 1 << 16  # 65,536 columns
 NLEV = 137
 SYNTH_COLS = 4096  # host-side synthesis size; tiled to NCOLS on device
-REPEATS = 3
+# 5 slope samples: the tunnel's ~5% throughput drift makes a 3-sample
+# median occasionally land on a drifted sample; 5 costs <1s of chain time
+REPEATS = 5
 DTYPE = jnp.float32
 
 #: HBM bandwidth (bytes/sec) by TPU generation, for the roofline denominator
