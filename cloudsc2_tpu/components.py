@@ -358,7 +358,24 @@ class Cloudsc2TL(Component):
 class Cloudsc2AD(Component):
     """Adjoint CLOUDSC2 (reference ``physics/adjoint/microphysics.py:46-238``):
     nonlinear trajectory + output-side cotangents in, forward tendencies +
-    input-side cotangents out."""
+    input-side cotangents out.
+
+    Implementation matrix (the reference compiles its AD stencil for any
+    externals, ``adjoint/microphysics.py:46-238``; here the fast path has a
+    config precondition and the scan adjoint is the always-correct oracle):
+
+    ========================  ==========================================
+    constants                 ``impl="pallas"`` resolves to
+    ========================  ==========================================
+    ``LPHYLIN=True`` (any     the two-sweep Pallas kernel pair
+    ``LEVAPLS2/LDRAIN1D``)    (:func:`cloudsc2_tpu.pallas.adjoint.cloudsc2_ad_pallas`)
+    ``LPHYLIN=False``         ``lax.scan`` adjoint (exact, ~10x slower on
+                              TPU) with a ``UserWarning`` — the kernel's
+                              forward sweep is the NL kernel, whose
+                              trajectory coincides with the TL forward
+                              only under linearized physics
+    ========================  ==========================================
+    """
 
     input_properties = _props(
         {
@@ -395,15 +412,21 @@ class Cloudsc2AD(Component):
         state = self._check_state(state)
         impl = _select_impl(self.impl, state)
         c = self.constants
-        if (
-            impl in ("pallas", "pallas-interpret")
-            and c.LPHYLIN
-            and not c.LEVAPLS2
-            and not c.LDRAIN1D
-        ):
-            from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+        if impl in ("pallas", "pallas-interpret"):
+            if c.LPHYLIN:
+                from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
 
-            return cloudsc2_ad_pallas(
-                state, timestep, c, interpret=impl == "pallas-interpret"
+                return cloudsc2_ad_pallas(
+                    state, timestep, c, interpret=impl == "pallas-interpret"
+                )
+            import warnings
+
+            warnings.warn(
+                "Cloudsc2AD: LPHYLIN=False has no Pallas kernel (the "
+                "kernel's forward sweep requires linearized physics); "
+                "falling back to the exact lax.scan adjoint (~10x slower "
+                "on TPU). See the Cloudsc2AD implementation matrix.",
+                UserWarning,
+                stacklevel=2,
             )
         return cloudsc2_ad(state, timestep, c)

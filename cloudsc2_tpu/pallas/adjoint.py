@@ -25,11 +25,15 @@ kernels, mirroring its two ``computation`` phases:
    back-propagates the 3 carry cotangents held in VMEM scratch.
 
 Restrictions (fall back to :func:`cloudsc2_tpu.physics.adjoint.cloudsc2_ad`
-otherwise): f32, lane-aligned columns, ``LPHYLIN=True`` (so the NL forward
-trajectory coincides with the TL forward — the reference's linearized
-physics configuration) and ``LEVAPLS2=False`` (the surface-pressure
-cotangent path is inactive, as in the reference default,
-``iox.py:208-209``).
+otherwise): f32, lane-aligned columns, and ``LPHYLIN=True`` (so the NL
+forward trajectory coincides with the TL forward — the reference's
+linearized physics configuration).  The precipitation-evaporation
+configurations (``LEVAPLS2=True`` / ``LDRAIN1D=True``) are supported: the
+reverse sweep then also back-propagates onto the surface-pressure
+perturbation ``aph_s_i`` (the reference's staggered-surface-pressure
+cotangent path, ``adjoint/_stencils/cloudsc2.py:969-986``), emitted as one
+extra per-level cotangent stream and summed into ``aph_i[nlev]`` at
+assembly.
 """
 from __future__ import annotations
 
@@ -100,17 +104,18 @@ def cloudsc2_ad_pallas(
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
-    if not c.LPHYLIN or c.LEVAPLS2 or c.LDRAIN1D:
-        # LDRAIN1D also activates the precipitation-evaporation branch
-        # (tangent_linear.py: ``if c.LEVAPLS2 or c.LDRAIN1D``), whose TL
-        # depends on the surface-pressure perturbation aph_s_i — a cotangent
-        # this kernel does not produce (it passes zeros for aph_s_i); the
-        # scan adjoint handles it exactly.
+    if not c.LPHYLIN:
         raise ValueError(
-            "cloudsc2_ad_pallas requires LPHYLIN=True and "
-            "LEVAPLS2=LDRAIN1D=False (use physics.adjoint.cloudsc2_ad "
-            "otherwise)"
+            "cloudsc2_ad_pallas requires LPHYLIN=True (the kernel's forward "
+            "sweep is the NL kernel, whose trajectory coincides with the TL "
+            "forward only under linearized physics; use "
+            "physics.adjoint.cloudsc2_ad otherwise)"
         )
+    # LEVAPLS2/LDRAIN1D activate the precipitation-evaporation branch
+    # (tangent_linear.py: ``if c.LEVAPLS2 or c.LDRAIN1D``), whose TL depends
+    # on the surface-pressure perturbation aph_s_i — the reverse sweep then
+    # emits its per-level cotangent as an extra stream
+    evap = bool(c.LEVAPLS2 or c.LDRAIN1D)
     kb = KB if kb is None else kb
     wb = WB if wb is None else wb
     unroll = UNROLL if unroll is None else unroll
@@ -179,10 +184,11 @@ def cloudsc2_ad_pallas(
         xfwd["crh_deta1"] = col["crh_deta1"]
         xfwd["crh_rsq"] = col["crh_rsq"]
 
-        def lin(ci, xi):
+        def lin(ci, xi, aph_s_i):
             carry = TLCarry(x["c_rfl"], x["c_sfl"], x["c_cov"], *ci)
             carry_out, outs = tl_level(
-                carry, {**xfwd, **xi}, col["aph_s"], z, col["trpaus"], dt, c
+                carry, {**xfwd, **xi}, col["aph_s"], aph_s_i, col["trpaus"],
+                dt, c,
             )
             return (
                 (carry_out.rfl_i, carry_out.sfl_i, carry_out.covptot_i),
@@ -190,11 +196,17 @@ def cloudsc2_ad_pallas(
             )
 
         zi = {n: z for n in XI_NAMES}
-        _, vjp = jax.vjp(lin, (z, z, z), zi)
-        ci_cot, xi_cot = vjp(
+        _, vjp = jax.vjp(lin, (z, z, z), zi, z)
+        ci_cot, xi_cot, aph_s_cot = vjp(
             (tuple(cot), tuple(x["s_" + n] for n in SEED_NAMES))
         )
-        return tuple(ci_cot), {"cot_" + n: xi_cot[n] for n in XI_NAMES}
+        outs = {"cot_" + n: xi_cot[n] for n in XI_NAMES}
+        if evap:
+            # per-level contribution to the surface-pressure cotangent
+            # (tl_level's evaporation branch reads aph_s_i at every level;
+            # the assembly below sums the stream into aph_i[nlev])
+            outs["cot_aph_s_i"] = aph_s_cot
+        return tuple(ci_cot), outs
 
     named = level_scan_pallas(
         body,
@@ -205,7 +217,8 @@ def cloudsc2_ad_pallas(
             aph_s=state["aph"][-1],
         ),
         scalar_inputs={"eta": eta, "scalm": scalm},
-        out_names=tuple("cot_" + n for n in XI_NAMES),
+        out_names=tuple("cot_" + n for n in XI_NAMES)
+        + (("cot_aph_s_i",) if evap else ()),
         ncarry=3,
         kb=kb,
         wb=wb,
@@ -236,6 +249,13 @@ def cloudsc2_ad_pallas(
     aph_i = jnp.concatenate([zrow, cot["dp_i"]], axis=0) - jnp.concatenate(
         [cot["dp_i"], zrow], axis=0
     )
+    if evap:
+        # surface-pressure cotangent: every level's evaporation branch reads
+        # aph_s = aph[nlev] (reference ``adjoint/_stencils/cloudsc2.py:
+        # 969-986`` applies the same staggered correction)
+        aph_i = aph_i.at[-1].add(
+            jnp.sum(named["cot_aph_s_i"][:nlev], axis=0)
+        )
     diags = dict(diags_f)
     diags.update(
         ap_i=cot["ap_i"],

