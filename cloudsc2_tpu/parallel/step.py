@@ -113,11 +113,16 @@ def full_step(
         # shard_map callers must pass eta in (see forward_step docstring)
         s["eta"] = eta_levels(s["ap"], s["aph"])
     s["qsat"] = saturation(s["ap"], s["t"], kflag=1, lphylin=c.LPHYLIN, c=c)
-    tends_nl, _ = cloudsc2_nl(s, dt, c)
 
     incr = state_increment(s, factor, ignore_supsat=True)
     s.update(incr)
     tends_tl, diags_tl = cloudsc2_tl(s, dt, c)
+    # the TL computes the full forward trajectory alongside the directional
+    # derivative and returns the forward tendencies (reference TL outputs
+    # ``out_tnd_*``, ``tangent_linear/microphysics.py:46-242``) — reuse
+    # them instead of re-running the NL scheme; the reference's symmetry
+    # protocol does the same (``adjoint/validation.py:132-151``)
+    tends_nl = {n: tends_tl[n] for n in TEND_NAMES}
     norm1 = SymmetryTest.get_norm1(tends_tl, diags_tl)
 
     for name in TEND_NAMES:
@@ -141,6 +146,57 @@ def make_sharded_fn(fn, mesh: Mesh, state: Dict[str, Array], *, dt: float, c: Co
         partial(fn, dt=dt, c=c),
         in_shardings=in_shardings,
     )
+
+
+def make_sharded_physics(fn, mesh: Mesh):
+    """Wrap a physics scheme ``fn(state, dt, c) -> (dict, dict)`` to run
+    column-sharded under ``shard_map`` on ``mesh``.
+
+    The generic sibling of :func:`make_sharded_forward_step` used by the
+    Taylor/symmetry protocols (driver ``--sharded``): 2-D fields are
+    column-sharded, 1-D fields (eta) replicated; each device runs the
+    scheme on its local column shard — no communication, columns are
+    independent (SURVEY.md §2.3).  Works for the ``lax.scan`` paths and the
+    Pallas kernels alike (GSPMD cannot partition a ``pallas_call``, so the
+    kernels require ``shard_map``; per-shard columns must then stay
+    lane-aligned).  One compiled step per (dt, c, state structure) — the
+    returned callable is constructed once per protocol run and reused.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cloudsc2_tpu.parallel.mesh import MESH_AXES
+
+    spec2d = P(None, MESH_AXES)
+    nshards = mesh.devices.size
+
+    @partial(jax.jit, static_argnames=("dt", "c"))
+    def step(state, dt, c):
+        def local_fn(s):
+            return fn(s, dt, c)
+
+        def spec_for(v):
+            return spec2d if v.ndim == 2 else P()
+
+        in_specs = ({k: spec_for(v) for k, v in state.items()},)
+        # discover the output key sets on the PER-DEVICE shard shapes (as
+        # make_sharded_forward_step: the Pallas lane-alignment check must
+        # see what each device sees)
+        local_abs = {
+            k: jax.ShapeDtypeStruct(
+                (v.shape[0], v.shape[1] // nshards) if v.ndim == 2 else v.shape,
+                v.dtype,
+            )
+            for k, v in state.items()
+        }
+        out_abs = jax.eval_shape(local_fn, local_abs)
+        out_specs = tuple({k: spec2d for k in d} for d in out_abs)
+        return shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(state)
+
+    return step
 
 
 def make_sharded_forward_step(

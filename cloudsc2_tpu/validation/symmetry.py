@@ -70,11 +70,23 @@ class SymmetryTest:
     kflag: int = 1
     lphylin: bool = True
     impl: str = "scan"
+    #: optional column mesh: runs the TL/AD schemes column-sharded under
+    #: ``shard_map`` (driver ``--sharded``); the per-column norms follow
+    #: the output shardings (single-host addressable meshes)
+    mesh: object = None
+    _fns: tuple = None  # type: ignore[assignment]
 
     def _tl_ad(self):
         from cloudsc2_tpu.dispatch import tl_ad_fns
 
-        return tl_ad_fns(self.impl)
+        if self._fns is None:
+            fns = tl_ad_fns(self.impl)
+            if self.mesh is not None:
+                from cloudsc2_tpu.parallel.step import make_sharded_physics
+
+                fns = tuple(make_sharded_physics(f, self.mesh) for f in fns)
+            self._fns = fns
+        return self._fns
 
     def run(self, state: Dict[str, Array], dt: float) -> Tuple[np.ndarray, np.ndarray]:
         from cloudsc2_tpu.utils.timing import device_sync, timing

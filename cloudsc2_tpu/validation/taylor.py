@@ -31,6 +31,16 @@ Array = jnp.ndarray
 TEND_NAMES = ("t", "q", "ql", "qi")
 DIAG_NAMES = ("clc", "fhpsl", "fhpsn", "fplsl", "fplsn", "covptot")
 
+#: verdict floors on ``min |1 - norm|`` over the V-shape descent, by
+#: precision regime: the reference's constants are f64-calibrated
+#: (``tangent_linear/validation.py:203-211``), so a single-precision run can
+#: only ever fail them — the descent legitimately bottoms out at the f32
+#: rounding of the nonlinear difference, ~1e-3-1e-4 (measured, Pallas TPU
+#: path and interpret mode alike; ``benchmarks/README.md`` §Taylor,
+#: ``tests/test_tl.py::test_taylor_test_pallas_interpret``).  Each entry is
+#: ``(floor_plus7, floor_plus5)``.
+FLOORS = {"f64": (1e-5, 1e-6), "f32": (1e-2, 1e-3)}
+
 
 @dataclass
 class TaylorTest:
@@ -42,7 +52,17 @@ class TaylorTest:
     kflag: int = 1
     lphylin: bool = True
     impl: str = "scan"  # "scan" | "pallas" | "pallas-interpret"
+    #: verdict floor calibration: "f64" (reference constants), "f32" (the
+    #: measured single-precision V-floor), or "auto" (from the state dtype
+    #: seen by :meth:`run`)
+    floors: str = "f64"
+    #: optional column mesh: runs the NL/TL schemes column-sharded under
+    #: ``shard_map`` (driver ``--sharded``); the norm reductions then sum
+    #: over the globally sharded outputs (single-host addressable meshes)
+    mesh: object = None
     norms: np.ndarray = field(default=None, repr=False)  # type: ignore[assignment]
+    _run_dtype: np.dtype = field(default=None, repr=False)  # type: ignore[assignment]
+    _fns: tuple = field(default=None, repr=False)  # type: ignore[assignment]
 
     def __post_init__(self) -> None:
         # no regularization in the Taylor test (reference validation.py:84-85)
@@ -51,7 +71,14 @@ class TaylorTest:
     def _nl_tl(self):
         from cloudsc2_tpu.dispatch import nl_tl_fns
 
-        return nl_tl_fns(self.impl)
+        if self._fns is None:
+            fns = nl_tl_fns(self.impl)
+            if self.mesh is not None:
+                from cloudsc2_tpu.parallel.step import make_sharded_physics
+
+                fns = tuple(make_sharded_physics(f, self.mesh) for f in fns)
+            self._fns = fns
+        return self._fns
 
     def run(self, state: Dict[str, Array], dt: float) -> np.ndarray:
         from cloudsc2_tpu.utils.timing import device_sync, timing
@@ -59,6 +86,7 @@ class TaylorTest:
         c = self.constants
         nl_fn, tl_fn = self._nl_tl()
         state = dict(state)
+        self._run_dtype = np.dtype(state["t"].dtype)
         # per-phase timing labels — the analogue of the reference's
         # per-stencil exec_info entries filtered into the stencils CSV
         # (run_taylor_test.py:185-196: "cloudsc", "saturation",
@@ -118,7 +146,13 @@ class TaylorTest:
         """V-shape verdict (reference ``validation.py:183-217``).
 
         Returns the penalty/error code; the test passes iff it is <= 5.
+        The min-norm floors are selected by ``self.floors`` (see
+        :data:`FLOORS`); the reference's f64 constants are the default.
         """
+        mode = self.floors
+        if mode == "auto":
+            mode = "f32" if self._run_dtype == np.dtype(np.float32) else "f64"
+        floor7, floor5 = FLOORS[mode]
         norms = np.array(self.norms if norms is None else norms, dtype=np.float64)
         if verbose:
             print(">>> Taylor test: Start")
@@ -146,9 +180,9 @@ class TaylorTest:
                 negat = tmp_negat
             if test == -10:
                 test = 11
-            if np.min(norms[start:]) > 1e-5:
+            if np.min(norms[start:]) > floor7:
                 test += 7
-            if np.min(norms[start:]) > 1e-6:
+            if np.min(norms[start:]) > floor5:
                 test += 5
             if test > 5:
                 log = f"The test failed with error {test}."

@@ -52,7 +52,18 @@ def core(config, io_config, factor, config_impl="scan"):
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     state.update(EtaLevels(grid, c)(state))
 
-    st = SymmetryTest(constants=c, factor=factor, impl=config_impl)
+    mesh = None
+    if config.sharded:
+        # mirror run_nonlinear.py --sharded: eta first (global column 0),
+        # pad to the mesh multiple (replicating column 0 — valid physics;
+        # the symmetry norms stay exact per column), then shard
+        from cloudsc2_tpu.parallel.mesh import column_mesh, pad_columns, shard_state
+
+        mesh = column_mesh()
+        state, _ = pad_columns(state, 128 * mesh.devices.size)
+        state = shard_state(state, mesh)
+
+    st = SymmetryTest(constants=c, factor=factor, impl=config_impl, mesh=mesh)
     Timer.reset()
     err = float("inf")
     runtimes = []
@@ -105,15 +116,18 @@ def core(config, io_config, factor, config_impl="scan"):
 @click.option("--output-csv-file-stencils", type=str, default=None)
 @click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
               help="kernel implementation (pallas: f32 TPU kernels)")
+@click.option("--sharded/--no-sharded", default=False,
+              help="column-shard the TL/AD schemes over all devices (shard_map)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(backend, num_cols, num_runs, precision, factor, input_file, output_csv_file,
-         output_csv_file_stencils, impl, host_alias):
+         output_csv_file_stencils, impl, sharded, host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
         .with_num_cols(num_cols)
         .with_num_runs(num_runs)
         .with_input_file(input_file)
+        .with_sharded(sharded)
     )
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)

@@ -19,7 +19,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from drivers.config import DEFAULT_CONFIG, DEFAULT_IO_CONFIG
 
 
-def core(config, io_config, factor1, factor2s, config_impl="scan"):
+def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64"):
     import jax.numpy as jnp
 
     from cloudsc2_tpu import iox, make_constants
@@ -52,7 +52,22 @@ def core(config, io_config, factor1, factor2s, config_impl="scan"):
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     state.update(EtaLevels(grid, c)(state))
 
-    tt = TaylorTest(constants=c, factor1=factor1, factor2s=factor2s, impl=config_impl)
+    mesh = None
+    if config.sharded:
+        # mirror run_nonlinear.py --sharded: eta first (global column 0),
+        # pad to the mesh multiple (replicating column 0 — valid physics,
+        # so the padded lanes contribute consistent terms to the summed
+        # norms), then shard; the schemes run under shard_map
+        from cloudsc2_tpu.parallel.mesh import column_mesh, pad_columns, shard_state
+
+        mesh = column_mesh()
+        state, _ = pad_columns(state, 128 * mesh.devices.size)
+        state = shard_state(state, mesh)
+
+    tt = TaylorTest(
+        constants=c, factor1=factor1, factor2s=factor2s, impl=config_impl,
+        floors=floors, mesh=mesh,
+    )
     Timer.reset()
     test = 13
     runtimes = []
@@ -104,18 +119,26 @@ def core(config, io_config, factor1, factor2s, config_impl="scan"):
 @click.option("--output-csv-file", type=str, default=None)
 @click.option("--output-csv-file-stencils", type=str, default=None)
 @click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
-              help="kernel implementation (pallas: f32 TPU kernels; NOTE the Taylor "
-              "verdict gate needs f64 — lambda sweeps to 1e-10, below f32 "
-              "resolution — so pallas impls are for protocol throughput only)")
+              help="kernel implementation (pallas: f32 TPU kernels; pair with "
+              "--floors auto/f32 — the reference's f64 verdict floors are below "
+              "single-precision resolution)")
+@click.option("--floors", type=click.Choice(["auto", "f64", "f32"]), default="f64",
+              help="verdict floor calibration: f64 = the reference constants "
+              "(tangent_linear/validation.py:203-211); f32 = the measured "
+              "single-precision V-floor (benchmarks/README.md); auto picks by "
+              "the state dtype")
+@click.option("--sharded/--no-sharded", default=False,
+              help="column-shard the NL/TL schemes over all devices (shard_map)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv_file,
-         output_csv_file_stencils, impl, host_alias):
+         output_csv_file_stencils, impl, floors, sharded, host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
         .with_num_cols(num_cols)
         .with_num_runs(num_runs)
         .with_input_file(input_file)
+        .with_sharded(sharded)
     )
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
@@ -123,7 +146,7 @@ def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv
         .with_host_name(host_alias)
     )
     factor2s = tuple(float(10.0 ** -(i + 1)) for i in range(10))
-    sys.exit(core(config, io_config, factor1, factor2s, impl))
+    sys.exit(core(config, io_config, factor1, factor2s, impl, floors))
 
 
 if __name__ == "__main__":
