@@ -66,15 +66,21 @@ def core(config, io_config, impl="auto"):
     # exists (the upstream data/input.h5 is a stripped blob, SURVEY.md §0).
     from drivers.config import default_input_file
 
+    # streaming mode loads the input at its native column count — the ring
+    # builder tiles per chunk; materializing --num-cols (10M+) host columns
+    # up front is exactly what the mode exists to avoid
+    stream_chunk = getattr(config, "_stream_chunk", None)
+    load_cols = None if stream_chunk else config.num_cols
+
     input_file = config.input_file or default_input_file()
     if input_file:
         grid, state_np, dt, params = iox.load_input(
-            input_file, ncols=config.num_cols, dtype=dtype
+            input_file, ncols=load_cols, dtype=dtype
         )
         c = make_constants(lphylin=True, ldrain1d=False, **params)
     else:
         grid, state_np, dt = iox.synthesize_input(
-            ncols=config.num_cols, nlev=137, seed=0, dtype=dtype
+            ncols=load_cols or 100, nlev=137, seed=0, dtype=dtype
         )
         c = make_constants(lphylin=True, ldrain1d=False)
     fast_div = getattr(config, "_fast_div", None)
@@ -85,6 +91,46 @@ def core(config, io_config, impl="auto"):
                 "only exists inside the Pallas kernels)"
             )
         c = c.replace(FAST_DIV=fast_div)
+
+    if stream_chunk:
+        # --- column-chunked streaming sweep (the out-of-HBM scaled run,
+        # BASELINE.json "10M+ columns"; see cloudsc2_tpu/parallel/stream.py)
+        if config.sharded or config.distributed:
+            raise click.UsageError(
+                "--stream-chunk is a single-chip mode (the pod-scale path "
+                "keeps columns resident: --sharded/--distributed)"
+            )
+        from cloudsc2_tpu.parallel.stream import stream_columns
+
+        ring_size = getattr(config, "_stream_ring", 4)
+        stats, (tends, diags) = stream_columns(
+            state_np, dt, c, total_cols=config.num_cols,
+            chunk_cols=stream_chunk, ring_size=ring_size, impl=impl,
+        )
+        print(
+            f"Streamed {stats['total_cols']} columns in {stats['nchunks']} "
+            f"chunks of {stats['chunk_cols']}: {stats['wall_s']:.3f} s, "
+            f"{stats['cols_per_sec'] / 1e6:.3f}M columns/s "
+            f"(effective H2D {stats['effective_h2d_gbps']:.2f} GB/s at "
+            f"{stats['h2d_bytes_per_col']} B/column)"
+        )
+        if config.enable_validation and config.reference_file:
+            tends_np = {k: np.asarray(v) for k, v in tends.items()}
+            diags_np = {
+                k: np.asarray(v) for k, v in diags.items() if k != "qsat"
+            }
+            with h5py.File(config.reference_file, "r") as f:
+                tends_ref, diags_ref = iox.read_reference(
+                    f, ncols=stream_chunk, dtype=dtype
+                )
+            atol, rtol = config_tolerances(config)
+            failing = validate(tends_np, tends_ref, atol=atol, rtol=rtol)
+            failing += validate(diags_np, diags_ref, atol=atol, rtol=rtol)
+            if failing:
+                print(f"Validation FAILED for fields: {failing}")
+                return 1
+            print("Validation completed successfully. HOORAY HOORAY!")
+        return 0
 
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     ncols = grid.ncols
@@ -277,12 +323,19 @@ def config_tolerances(config):
               default="exact", help="divide strategy inside the Pallas kernels "
               "(see cloudsc2_tpu.physics.fastmath.DIV_MODES); non-exact modes "
               "require --impl pallas and are covered by the f32 validation gates")
+@click.option("--stream-chunk", type=int, default=None,
+              help="stream --num-cols columns through the chip in chunks of "
+              "this many columns (double-buffered H2D; the out-of-HBM scaled "
+              "run — use lane-aligned chunks, e.g. 65536, for the Pallas path)")
+@click.option("--stream-ring", type=int, default=4,
+              help="distinct host-resident chunk buffers cycled by the stream")
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
     input_file, reference_file, atol, rtol, sharded, distributed, coordinator,
     process_id, num_processes, output_csv_file,
-    output_csv_file_stencils, profile_dir, impl, fast_div, host_alias,
+    output_csv_file_stencils, profile_dir, impl, fast_div, stream_chunk,
+    stream_ring, host_alias,
 ):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
@@ -313,6 +366,8 @@ def main(
     object.__setattr__(config, "_rtol", rtol)
     object.__setattr__(config, "_profile_dir", profile_dir)
     object.__setattr__(config, "_fast_div", fast_div)
+    object.__setattr__(config, "_stream_chunk", stream_chunk)
+    object.__setattr__(config, "_stream_ring", stream_ring)
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
         .with_output_csv_file_stencils(output_csv_file_stencils)

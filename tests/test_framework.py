@@ -362,3 +362,21 @@ def test_read_timestep_missing_dataset(tmp_path):
         pass
     with h5py.File(path, "r") as f:
         assert iox.read_timestep(f) == 0.0
+
+
+def test_run_nonlinear_driver_stream_chunk():
+    """End-to-end CLI: the column-chunked streaming sweep (--stream-chunk,
+    the out-of-HBM scaled-run mode) processes total > chunk columns through
+    the double-buffered H2D pipeline and validates chunk 0 against the
+    golden file."""
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "drivers", "run_nonlinear.py"),
+            "--backend", "cpu", "--num-cols", "1000", "--stream-chunk", "200",
+            "--stream-ring", "2",
+        ],
+        capture_output=True, text=True, timeout=600, env=dict(os.environ), cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Streamed 1000 columns in 5 chunks" in proc.stdout
+    assert "HOORAY" in proc.stdout
