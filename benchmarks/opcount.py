@@ -11,7 +11,7 @@ reduction before it could be measured).
 
 Run: ``JAX_PLATFORMS=cpu python benchmarks/opcount.py``
 """
-import collections
+
 import json
 import os
 import sys
@@ -28,9 +28,7 @@ from cloudsc2_tpu import make_constants
 from cloudsc2_tpu.physics.nonlinear import NLCarry, nl_level
 from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 
-#: measured v5e op-equivalents (benchmarks/microbench_div.py, microbench_ops.py)
-WEIGHTS = {"div": 14.0, "exp": 3.0, "tanh": 6.0, "sqrt": 3.0, "rsqrt": 3.0,
-           "pow": 14.0, "integer_pow": 2.0}
+from cloudsc2_tpu.utils.opcensus import WEIGHTS, census  # noqa: E402,F401
 
 #: folded stream names plus the raw fields (both provided so the census
 #: also runs against pre-fold revisions of the level bodies; each revision
@@ -46,25 +44,6 @@ TL_EXTRA = (
     "q_i", "ql_i", "qi_i", "supsat_i", "t_i",
     "tnd_cml_q_i", "tnd_cml_ql_i", "tnd_cml_qi_i", "tnd_cml_t_i",
 )
-
-
-def census(fn, args):
-    jaxpr = jax.make_jaxpr(fn)(*args)
-    counts = collections.Counter()
-
-    def walk(jx):
-        for eqn in jx.eqns:
-            counts[eqn.primitive.name] += 1
-            for p in eqn.params.values():
-                if hasattr(p, "jaxpr"):
-                    walk(p.jaxpr)
-                if isinstance(p, (list, tuple)):
-                    for q in p:
-                        if hasattr(q, "jaxpr"):
-                            walk(q.jaxpr)
-
-    walk(jaxpr.jaxpr)
-    return counts
 
 
 def report(name, counts):
