@@ -1,0 +1,126 @@
+"""Fused single-kernel AD vs the two-kernel pipeline (VERDICT r2 #1).
+
+Within-process interleaved A/B (the only comparison this repo trusts,
+CLAUDE.md): each variant's chain is timed round-robin per sample so tunnel
+throughput drift hits all variants equally; median over samples.
+
+Variants:
+  twokernel      — cloudsc2_ad_pallas (NL-with-trajectory kernel + reverse
+                   kernel; 3 trajectory streams round-trip HBM)
+  fused          — one pallas_call, trajectory carry in a VMEM stack
+                   (saves the 3-stream round trip; fwd inputs re-fetched)
+  fused-resident — fused + forward inputs kept in VMEM stacks (saves the
+                   11-stream second read too)
+
+Usage: python benchmarks/sweep_ad_fused.py [kb] [wb] [unroll]
+"""
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from cloudsc2_tpu import iox, make_constants
+from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas, cloudsc2_ad_pallas_fused
+from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+from cloudsc2_tpu.physics.diagnostics import eta_levels
+from cloudsc2_tpu.physics.increment import state_increment
+from cloudsc2_tpu.physics.saturation import saturation
+from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
+
+NCOLS = 1 << 16
+NLEV = 137
+LONG, SHORT = 32, 4
+SAMPLES = 5
+
+KB = int(sys.argv[1]) if len(sys.argv) > 1 else None
+WB = int(sys.argv[2]) if len(sys.argv) > 2 else None
+UNROLL = int(sys.argv[3]) if len(sys.argv) > 3 else None
+
+_, s, dt = iox.synthesize_input(ncols=4096, nlev=NLEV, seed=0, dtype=np.float32)
+reps = NCOLS // 4096
+state = {
+    k: (jnp.tile(jnp.asarray(v, jnp.float32), (1, reps)) if v.ndim == 2
+        else jnp.asarray(v, jnp.float32))
+    for k, v in s.items()
+}
+c = make_constants(lphylin=True, ldrain1d=False)
+state["eta"] = eta_levels(state["ap"], state["aph"])
+state["qsat"] = saturation(state["ap"], state["t"], kflag=1, lphylin=True, c=c)
+state.update(state_increment(state, 0.01, ignore_supsat=True))
+tt, dd = cloudsc2_tl_pallas(state, dt, c)
+for n in TEND_NAMES:
+    state["tnd_" + n] = tt[n]
+    state["tnd_" + n + "_i"] = tt[n + "_i"]
+for n in DIAG_NAMES:
+    state[n + "_i"] = dd[n + "_i"]
+state = {k: jax.device_put(v) for k, v in state.items()}
+
+VARIANTS = {
+    "twokernel": lambda st: cloudsc2_ad_pallas(st, dt, c, kb=KB, wb=WB, unroll=UNROLL),
+    "fused": lambda st: cloudsc2_ad_pallas_fused(st, dt, c, kb=KB, wb=WB, unroll=UNROLL),
+    "fused-resident": lambda st: cloudsc2_ad_pallas_fused(
+        st, dt, c, kb=KB, wb=WB, unroll=UNROLL, resident=True
+    ),
+}
+
+
+@partial(jax.jit, static_argnames=("n", "name"))
+def chain(state, n, name):
+    def body(_, st):
+        tends, _d = VARIANTS[name](st)
+        st = dict(st)
+        # depend on a REVERSE output (cml_t_i): forward-only dependence
+        # lets XLA DCE the reverse sweep
+        st["t"] = st["t"] + jnp.asarray(1e-30, st["t"].dtype) * tends["cml_t_i"]
+        return st
+
+    return jax.lax.fori_loop(0, n, body, dict(state))["t"]
+
+
+def fetch(x):
+    return float(jnp.sum(x[0]))
+
+
+def main():
+    live = []
+    for name in VARIANTS:
+        try:
+            t0 = time.time()
+            fetch(chain(state, SHORT, name))
+            fetch(chain(state, LONG, name))
+            print(json.dumps({"variant": name, "compile_s": time.time() - t0}),
+                  flush=True)
+            live.append(name)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
+
+    per = {name: [] for name in live}
+    for _ in range(SAMPLES):
+        for name in live:  # interleaved: drift hits all variants equally
+            t0 = time.perf_counter()
+            fetch(chain(state, SHORT, name))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fetch(chain(state, LONG, name))
+            tl = time.perf_counter() - t0
+            per[name].append((tl - ts) / (LONG - SHORT))
+    for name in live:
+        med = float(np.median(per[name]))
+        print(json.dumps({
+            "variant": name, "kb": KB, "wb": WB, "unroll": UNROLL,
+            "per_step_ms": med * 1e3, "cols_per_sec": NCOLS / med,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,10 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
+from cloudsc2_tpu.pallas.levelscan import (
+    level_scan_fwdrev_pallas,
+    level_scan_pallas,
+)
 from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 from cloudsc2_tpu.physics.nonlinear import (
     critical_rh_coeffs,
@@ -138,6 +141,39 @@ def cloudsc2_ad_pallas(
     )
 
     # ---- reverse-kernel inputs ----
+    fwd, seeds, col_inputs, scalar_inputs = _reverse_problem(state, dt, c)
+
+    # no level padding: the harness's ragged edge block never touches rows
+    # beyond nlev, so seeds/trajectory pass through unpadded
+    level_inputs = dict(fwd)
+    level_inputs.update(seeds)
+    level_inputs.update({n: traj[n] for n in ("c_rfl", "c_sfl", "c_cov")})
+
+    named = level_scan_pallas(
+        _make_rev_body(dt, c, evap),
+        level_inputs=level_inputs,
+        col_inputs=col_inputs,
+        scalar_inputs=scalar_inputs,
+        out_names=tuple("cot_" + n for n in XI_NAMES)
+        + (("cot_aph_s_i",) if evap else ()),
+        ncarry=3,
+        kb=kb,
+        wb=wb,
+        reverse=True,
+        unroll=unroll,
+        # the reverse body is jax.vjp of the (exactly linear) TL — padded
+        # levels with zero-padded seeds contribute exactly zero to the
+        # carry cotangents (see level_scan_pallas docstring)
+        zero_pad_names=tuple("s_" + n for n in SEED_NAMES),
+        interpret=interpret,
+    )
+    return _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap)
+
+
+def _reverse_problem(state, dt: float, c: Constants):
+    """Level/seed/column/scalar input dicts shared by the two-kernel and
+    fused adjoint paths."""
+    dtype = state["ap"].dtype
     eta = state["eta"].astype(dtype)
     scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
@@ -169,11 +205,17 @@ def cloudsc2_ad_pallas(
         "s_fplsl_i": state["fplsl_i"][1:] - c.RLVTT * state["fhpsl_i"][1:],
         "s_fplsn_i": state["fplsn_i"][1:] - c.RLSTT * state["fhpsn_i"][1:],
     }
-    # no level padding: the harness's ragged edge block never touches rows
-    # beyond nlev, so seeds/trajectory pass through unpadded
-    level_inputs = dict(fwd)
-    level_inputs.update(seeds)
-    level_inputs.update({n: traj[n] for n in ("c_rfl", "c_sfl", "c_cov")})
+    col_inputs = dict(
+        zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
+        trpaus=trpaus,
+        aph_s=state["aph"][-1],
+    )
+    return fwd, seeds, col_inputs, {"eta": eta, "scalm": scalm}
+
+
+def _make_rev_body(dt: float, c: Constants, evap: bool):
+    """The reverse level body: ``jax.vjp`` of the exactly-linear TL level,
+    re-linearized around the stored forward carry (``x["c_*"]``)."""
 
     def body(cot, x, col, _g):
         z = jnp.zeros_like(x["ap"])
@@ -204,40 +246,23 @@ def cloudsc2_ad_pallas(
         if evap:
             # per-level contribution to the surface-pressure cotangent
             # (tl_level's evaporation branch reads aph_s_i at every level;
-            # the assembly below sums the stream into aph_i[nlev])
+            # the assembly sums the stream into aph_i[nlev])
             outs["cot_aph_s_i"] = aph_s_cot
         return tuple(ci_cot), outs
 
-    named = level_scan_pallas(
-        body,
-        level_inputs=level_inputs,
-        col_inputs=dict(
-            zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
-            trpaus=trpaus,
-            aph_s=state["aph"][-1],
-        ),
-        scalar_inputs={"eta": eta, "scalm": scalm},
-        out_names=tuple("cot_" + n for n in XI_NAMES)
-        + (("cot_aph_s_i",) if evap else ()),
-        ncarry=3,
-        kb=kb,
-        wb=wb,
-        reverse=True,
-        unroll=unroll,
-        # the reverse body is jax.vjp of the (exactly linear) TL — padded
-        # levels with zero-padded seeds contribute exactly zero to the
-        # carry cotangents (see level_scan_pallas docstring)
-        zero_pad_names=tuple("s_" + n for n in SEED_NAMES),
-        interpret=interpret,
-    )
-    cot = {n: named["cot_" + n][:nlev] for n in XI_NAMES}
+    return body
 
-    # ---- assemble the component outputs (adjoint/microphysics.py:150-218).
-    # The folded cotangent bases expand by linearity of the first-guess
-    # combines: q2 = q + dt*tnd_cml_q + supsat gives cot_q = cot_supsat =
-    # cot_q2 and cot_tnd_cml_q = dt*cot_q2 (supsat keeps coefficient 1 —
-    # the documented exact-transpose deviation, see PARITY.md), and
-    # likewise for ql/qi/t.
+
+def _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap):
+    """Assemble the component outputs (adjoint/microphysics.py:150-218).
+
+    The folded cotangent bases expand by linearity of the first-guess
+    combines: q2 = q + dt*tnd_cml_q + supsat gives cot_q = cot_supsat =
+    cot_q2 and cot_tnd_cml_q = dt*cot_q2 (supsat keeps coefficient 1 —
+    the documented exact-transpose deviation, see PARITY.md), and
+    likewise for ql/qi/t.
+    """
+    cot = {n: named["cot_" + n][:nlev] for n in XI_NAMES}
     tends = dict(tends_f)
     tends["cml_t_i"] = dt * cot["t_fg_i"]
     tends["cml_q_i"] = dt * cot["q2_i"]
@@ -272,3 +297,91 @@ def cloudsc2_ad_pallas(
         supsat_i=cot["q2_i"],
     )
     return tends, diags
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll", "resident"),
+)
+def cloudsc2_ad_pallas_fused(
+    state: Dict[str, Array],
+    dt: float,
+    c: Constants,
+    interpret: bool = False,
+    kb: int | None = None,
+    wb: int | None = None,
+    unroll: int | None = None,
+    resident: bool = False,
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Single-kernel adjoint: forward NL sweep + reverse transpose sweep
+    fused into ONE ``pallas_call`` — the reference's execution shape (both
+    sweeps in one stencil, ``adjoint/_stencils/cloudsc2.py:24-996``).
+
+    Versus :func:`cloudsc2_ad_pallas` this keeps the per-level trajectory
+    carry in a VMEM stack instead of round-tripping 3 streams through HBM
+    (and with ``resident=True`` the reverse phase also reads the 11 forward
+    input streams from VMEM stacks filled during the forward sweep instead
+    of re-fetching them — 17 fewer full-grid stream traversals in total).
+    Same restrictions and outputs as :func:`cloudsc2_ad_pallas`.
+    """
+    if not c.LPHYLIN:
+        raise ValueError(
+            "cloudsc2_ad_pallas_fused requires LPHYLIN=True (see "
+            "cloudsc2_ad_pallas)"
+        )
+    evap = bool(c.LEVAPLS2 or c.LDRAIN1D)
+    kb = KB if kb is None else kb
+    wb = WB if wb is None else wb
+    unroll = UNROLL if unroll is None else unroll
+    nlev, ncols = state["ap"].shape
+    dtype = state["ap"].dtype
+
+    fwd, seeds, col_inputs, scalar_inputs = _reverse_problem(state, dt, c)
+
+    from cloudsc2_tpu.physics.nonlinear import NLCarry, nl_level
+
+    def fwd_body(carry, x, col, _g):
+        x = dict(
+            x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+            crh_rsq=col["crh_rsq"],
+        )
+        carry, outs, _aux = nl_level(
+            NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
+        )
+        return tuple(carry), outs
+
+    named = level_scan_fwdrev_pallas(
+        fwd_body,
+        _make_rev_body(dt, c, evap),
+        level_inputs=fwd,
+        seed_inputs=seeds,
+        col_inputs=col_inputs,
+        scalar_inputs=scalar_inputs,
+        fwd_out_names=(
+            "tnd_t", "tnd_q", "tnd_ql", "tnd_qi", "clc", "covptot",
+            "fplsl", "fplsn",
+        ),
+        rev_out_names=tuple("cot_" + n for n in XI_NAMES)
+        + (("cot_aph_s_i",) if evap else ()),
+        traj_names=("c_rfl", "c_sfl", "c_cov"),
+        ncarry_rev=3,
+        kb=kb,
+        wb=wb,
+        unroll=unroll,
+        resident=resident,
+        interpret=interpret,
+    )
+
+    zrow = jnp.zeros((1, ncols), dtype)
+    fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=0)
+    fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=0)
+    tends_f = {n: named["tnd_" + n] for n in ("t", "q", "ql", "qi")}
+    diags_f = {
+        "clc": named["clc"],
+        "covptot": named["covptot"],
+        "fplsl": fplsl,
+        "fplsn": fplsn,
+        "fhpsl": -fplsl * c.RLVTT,
+        "fhpsn": -fplsn * c.RLSTT,
+    }
+    return _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap)

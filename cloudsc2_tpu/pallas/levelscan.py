@@ -40,6 +40,264 @@ def _pad_levels(x: Array, kp: int, zero: bool = False) -> Array:
     return jnp.pad(x, pad) if zero else jnp.pad(x, pad, mode="edge")
 
 
+def level_scan_fwdrev_pallas(
+    fwd_body: Callable,
+    rev_body: Callable,
+    *,
+    level_inputs: Dict[str, Array],
+    seed_inputs: Dict[str, Array],
+    col_inputs: Dict[str, Array],
+    scalar_inputs: Dict[str, Array],
+    fwd_out_names: Sequence[str],
+    rev_out_names: Sequence[str],
+    traj_names: Sequence[str],
+    ncarry_rev: int,
+    kb: int,
+    wb: int,
+    unroll: int = 1,
+    resident: bool = False,
+    interpret: bool = False,
+) -> Dict[str, Array]:
+    """Fused forward + reverse level scan in ONE kernel — the adjoint's
+    execution shape (reference ``adjoint/_stencils/cloudsc2.py:24-996``
+    does both sweeps in one stencil).
+
+    The grid is ``(column_tiles, 2 * level_blocks)``: the first half of the
+    level axis sweeps top-down running ``fwd_body`` (the NL level) while
+    snapshotting the carry *entering* each level into a VMEM trajectory
+    stack (``len(traj_names)`` stacks of ``(klev, 8, wb)``); the second
+    half sweeps bottom-up running ``rev_body`` (the TL transpose), which
+    receives the stacked carry back as ``x[traj_names[j]]``.  Versus the
+    two-kernel pipeline this removes the trajectory round trip through HBM
+    (3 streams written + 3 read at the benchmark shape).
+
+    ``rev_body(cot, x, col, g)`` sees ``x`` = level inputs + seed inputs +
+    trajectory entries; ``fwd_body(carry, x, col, g)`` sees level inputs
+    only.  Seed streams are only fetched during the reverse phase (their
+    index map parks on the turnaround block during the forward phase).
+
+    ``resident=True`` additionally copies every level-input block into a
+    VMEM stack during the forward sweep and reads the reverse phase's
+    inputs from VMEM instead of re-fetching them from HBM — removing the
+    second read of all ``len(level_inputs)`` forward streams at the cost
+    of ``len(level_inputs)`` extra ``(klev, 8, wb)`` VMEM stacks (~2.2 MB
+    each at wb=512, f32); shrink ``wb`` if VMEM binds.
+
+    Level padding follows :func:`level_scan_pallas`: rolled (``unroll=1``)
+    runs ragged with no padding; ``unroll>1`` pads to a ``kb`` multiple
+    with seeds zero-padded — the padded rows are swept first from the zero
+    cotangent carry and, because ``rev_body`` is linear in (carry, seeds),
+    contribute exactly zero.
+    """
+    names = tuple(level_inputs)
+    seed_names = tuple(seed_inputs)
+    col_names = tuple(col_inputs)
+    scal_names = tuple(scalar_inputs)
+    fwd_out_names = tuple(fwd_out_names)
+    rev_out_names = tuple(rev_out_names)
+    traj_names = tuple(traj_names)
+    ncarry_fwd = len(traj_names)
+
+    sample = next(iter(level_inputs.values()))
+    nlev, ncols = sample.shape
+    dtype = sample.dtype
+    if dtype == jnp.float64:
+        raise ValueError(
+            "Pallas kernels require single precision (TPU Mosaic has no f64); "
+            "use the lax.scan implementation (the f64 oracle) instead"
+        )
+    if ncols % (8 * wb) != 0:
+        raise ValueError(f"ncols={ncols} must be a multiple of {8 * wb}")
+    w = ncols // 8
+    nj = w // wb
+    kp = math.ceil(nlev / kb) * kb
+    nkb = kp // kb
+    u = max(min(unroll, kb), 1)
+    ragged = u == 1
+    klev = nlev if ragged else kp
+    if u > 1 and kb % u != 0:
+        raise ValueError(f"unroll={u} must divide kb={kb}")
+
+    def kernel(*refs):
+        n_s, n_l, n_sd, n_c = (
+            len(scal_names), len(names), len(seed_names), len(col_names),
+        )
+        n_fo, n_ro = len(fwd_out_names), len(rev_out_names)
+        scal_refs = refs[:n_s]
+        level_refs = refs[n_s : n_s + n_l]
+        seed_refs = refs[n_s + n_l : n_s + n_l + n_sd]
+        col_refs = refs[n_s + n_l + n_sd : n_s + n_l + n_sd + n_c]
+        out0 = n_s + n_l + n_sd + n_c
+        fwd_out_refs = refs[out0 : out0 + n_fo]
+        rev_out_refs = refs[out0 + n_fo : out0 + n_fo + n_ro]
+        carry_ref = refs[out0 + n_fo + n_ro]
+        traj_refs = refs[out0 + n_fo + n_ro + 1 : out0 + n_fo + n_ro + 1 + ncarry_fwd]
+        res_refs = refs[out0 + n_fo + n_ro + 1 + ncarry_fwd :]
+
+        t_id = pl.program_id(1)
+        is_fwd = t_id < nkb
+
+        @pl.when(t_id == 0)
+        def _init_fwd():
+            carry_ref[...] = jnp.zeros_like(carry_ref)
+
+        @pl.when(t_id == nkb)
+        def _init_rev():
+            for j in range(ncarry_rev):
+                carry_ref[ncarry_fwd + j] = jnp.zeros_like(carry_ref[0])
+
+        col = {n: r[...] for n, r in zip(col_names, col_refs)}
+        ar_kb = jnp.where(is_fwd, t_id, 2 * nkb - 1 - t_id)
+        valid = jnp.minimum(kb, klev - ar_kb * kb) if ragged else kb
+
+        def scalars_at(g):
+            return {n: r[g, 0] for n, r in zip(scal_names, scal_refs)}
+
+        def fwd_step(row, carry):
+            x = {n: r[row] for n, r in zip(names, level_refs)}
+            g = ar_kb * kb + row
+            x.update(scalars_at(g))
+            for j in range(ncarry_fwd):
+                traj_refs[j][g] = carry[j]
+            if resident:
+                for r_in, r_res in zip(level_refs, res_refs):
+                    r_res[g] = r_in[row]
+            carry, outs = fwd_body(carry, x, col, g)
+            for n, r in zip(fwd_out_names, fwd_out_refs):
+                r[row] = outs[n]
+            return carry
+
+        def rev_step(row, cot):
+            g = ar_kb * kb + row
+            if resident:
+                x = {n: r[g] for n, r in zip(names, res_refs)}
+            else:
+                x = {n: r[row] for n, r in zip(names, level_refs)}
+            for n, r in zip(seed_names, seed_refs):
+                x[n] = r[row]
+            x.update(scalars_at(g))
+            for j, n in enumerate(traj_names):
+                x[n] = traj_refs[j][g]
+            cot, outs = rev_body(cot, x, col, g)
+            for n, r in zip(rev_out_names, rev_out_refs):
+                r[row] = outs[n]
+            return cot
+
+        # ---- forward phase ----
+        @pl.when(is_fwd)
+        def _fwd_phase():
+            carry = tuple(carry_ref[j] for j in range(ncarry_fwd))
+            if u >= kb:
+                for i in range(kb):
+                    carry = fwd_step(i, carry)
+            elif u > 1:
+                def block(b, carry):
+                    for j in range(u):
+                        carry = fwd_step(b * u + j, carry)
+                    return carry
+
+                carry = jax.lax.fori_loop(0, kb // u, block, carry)
+            else:
+                carry = jax.lax.fori_loop(
+                    0, valid, lambda i, cs: fwd_step(i, cs), carry
+                )
+            for j in range(ncarry_fwd):
+                carry_ref[j] = carry[j]
+
+        # ---- reverse phase ----
+        @pl.when(jnp.logical_not(is_fwd))
+        def _rev_phase():
+            cot = tuple(
+                carry_ref[ncarry_fwd + j] for j in range(ncarry_rev)
+            )
+            if u >= kb:
+                for i in range(kb):
+                    cot = rev_step(kb - 1 - i, cot)
+            elif u > 1:
+                def block(b, cot):
+                    for j in range(u):
+                        cot = rev_step(kb - 1 - (b * u + j), cot)
+                    return cot
+
+                cot = jax.lax.fori_loop(0, kb // u, block, cot)
+            else:
+                cot = jax.lax.fori_loop(
+                    0, valid, lambda i, cs: rev_step(valid - 1 - i, cs), cot
+                )
+            for j in range(ncarry_rev):
+                carry_ref[ncarry_fwd + j] = cot[j]
+
+    # ---- block specs ----
+    # forward inputs: block t going up, then 2*nkb-1-t coming down (each
+    # block fetched twice unless resident, where the reverse phase reads
+    # the VMEM stacks and the map parks on the turnaround block)
+    if resident:
+        def level_ix(j, t):
+            return (jnp.minimum(t, nkb - 1), 0, j)
+    else:
+        def level_ix(j, t):
+            return (jnp.where(t < nkb, t, 2 * nkb - 1 - t), 0, j)
+
+    # seeds + reverse outputs: parked on the turnaround block during the
+    # forward phase (fetched/written once per block, reverse order)
+    def rev_ix(j, t):
+        return (jnp.where(t < nkb, nkb - 1, 2 * nkb - 1 - t), 0, j)
+
+    # forward outputs: written going up, parked on the last block after
+    def fwd_ix(j, t):
+        return (jnp.minimum(t, nkb - 1), 0, j)
+
+    level_spec = pl.BlockSpec((kb, 8, wb), level_ix, memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((kb, 8, wb), rev_ix, memory_space=pltpu.VMEM)
+    fwd_out_spec = pl.BlockSpec((kb, 8, wb), fwd_ix, memory_space=pltpu.VMEM)
+    rev_out_spec = pl.BlockSpec((kb, 8, wb), rev_ix, memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((8, wb), lambda j, t: (0, j), memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if ragged:
+        ins = (
+            [scalar_inputs[n].astype(dtype).reshape(nlev, 1) for n in scal_names]
+            + [level_inputs[n].reshape(nlev, 8, w) for n in names]
+            + [seed_inputs[n].reshape(nlev, 8, w) for n in seed_names]
+            + [col_inputs[n].reshape(8, w) for n in col_names]
+        )
+    else:
+        ins = (
+            [_pad_levels(scalar_inputs[n].astype(dtype), kp).reshape(kp, 1) for n in scal_names]
+            + [_pad_levels(level_inputs[n], kp).reshape(kp, 8, w) for n in names]
+            + [_pad_levels(seed_inputs[n], kp, zero=True).reshape(kp, 8, w) for n in seed_names]
+            + [col_inputs[n].reshape(8, w) for n in col_names]
+        )
+
+    scratch = [pltpu.VMEM((ncarry_fwd + ncarry_rev, 8, wb), dtype)]
+    scratch += [pltpu.VMEM((klev, 8, wb), dtype) for _ in range(ncarry_fwd)]
+    if resident:
+        scratch += [pltpu.VMEM((klev, 8, wb), dtype) for _ in range(len(names))]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nj, 2 * nkb),
+        in_specs=[smem_spec] * len(scal_names)
+        + [level_spec] * len(names)
+        + [seed_spec] * len(seed_names)
+        + [col_spec] * len(col_names),
+        out_specs=[fwd_out_spec] * len(fwd_out_names)
+        + [rev_out_spec] * len(rev_out_names),
+        out_shape=[
+            jax.ShapeDtypeStruct((klev, 8, w), dtype)
+            for _ in fwd_out_names + rev_out_names
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(*ins)
+
+    all_names = fwd_out_names + rev_out_names
+    return {n: o.reshape(klev, ncols)[:nlev] for n, o in zip(all_names, outs)}
+
+
 def level_scan_pallas(
     body: Callable,
     *,

@@ -458,3 +458,41 @@ def test_cloudsc2_ad_component_warns_on_scan_fallback(f32_state_small):
     for ref, got in ((t_ref, t_comp), (d_ref, d_comp)):
         for n in ref:
             np.testing.assert_array_equal(np.asarray(got[n]), np.asarray(ref[n]), err_msg=n)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [dict(unroll=1), dict(unroll=2), dict(unroll=1, resident=True)],
+    ids=["rolled", "unroll2", "resident"],
+)
+def test_pallas_ad_fused_matches_two_kernel(f32_state_small, kw):
+    """The fused single-kernel adjoint (forward NL sweep + reverse
+    transpose in ONE pallas_call, VMEM trajectory stack — the reference's
+    one-stencil shape) reproduces the two-kernel pipeline, across the
+    rolled/ragged, partially-unrolled/padded, and VMEM-resident-input
+    layouts.  Interpret mode executes identical per-level math, so the
+    comparison is exact."""
+    from cloudsc2_tpu.pallas.adjoint import (
+        cloudsc2_ad_pallas,
+        cloudsc2_ad_pallas_fused,
+    )
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tends_tl, diags_tl = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    for name in TEND_NAMES:
+        s["tnd_" + name] = tends_tl[name]
+        s["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s[name + "_i"] = diags_tl[name + "_i"]
+    t_ref, d_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    t_f, d_f = cloudsc2_ad_pallas_fused(s, dt, c, interpret=True, wb=128, **kw)
+    for ref, got in ((t_ref, t_f), (d_ref, d_f)):
+        for n in ref:
+            np.testing.assert_array_equal(
+                np.asarray(got[n]), np.asarray(ref[n]), err_msg=n
+            )
