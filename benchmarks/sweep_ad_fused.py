@@ -12,7 +12,9 @@ Variants:
   fused-resident — fused + forward inputs kept in VMEM stacks (saves the
                    11-stream second read too)
 
-Usage: python benchmarks/sweep_ad_fused.py [kb] [wb] [unroll]
+Usage: python benchmarks/sweep_ad_fused.py [variant:kb,wb,unroll ...]
+  e.g. python benchmarks/sweep_ad_fused.py twokernel:8,512,2 fused:4,512,2
+  (no args: the three variants at the default config)
 """
 import json
 import os
@@ -42,9 +44,31 @@ NLEV = 137
 LONG, SHORT = 32, 4
 SAMPLES = 5
 
-KB = int(sys.argv[1]) if len(sys.argv) > 1 else None
-WB = int(sys.argv[2]) if len(sys.argv) > 2 else None
-UNROLL = int(sys.argv[3]) if len(sys.argv) > 3 else None
+FNS = {
+    "twokernel": cloudsc2_ad_pallas,
+    "fused": cloudsc2_ad_pallas_fused,
+    "fused-resident": partial(cloudsc2_ad_pallas_fused, resident=True),
+}
+
+
+def parse_combo(tok):
+    """variant:kb,wb,unroll[,fwd_unroll] — fwd_unroll is twokernel-only
+    (the forward NL kernel's unroll; defaults to the NL kernel's best)."""
+    variant, _, cfg = tok.partition(":")
+    kb = wb = unroll = fwd_unroll = None
+    if cfg:
+        nums = [int(x) for x in cfg.split(",")]
+        kb, wb, unroll = nums[:3]
+        if len(nums) > 3:
+            fwd_unroll = nums[3]
+    return variant, kb, wb, unroll, fwd_unroll
+
+
+COMBOS = (
+    [parse_combo(t) for t in sys.argv[1:]]
+    if len(sys.argv) > 1
+    else [(v, None, None, None, None) for v in FNS]
+)
 
 _, s, dt = iox.synthesize_input(ncols=4096, nlev=NLEV, seed=0, dtype=np.float32)
 reps = NCOLS // 4096
@@ -65,19 +89,13 @@ for n in DIAG_NAMES:
     state[n + "_i"] = dd[n + "_i"]
 state = {k: jax.device_put(v) for k, v in state.items()}
 
-VARIANTS = {
-    "twokernel": lambda st: cloudsc2_ad_pallas(st, dt, c, kb=KB, wb=WB, unroll=UNROLL),
-    "fused": lambda st: cloudsc2_ad_pallas_fused(st, dt, c, kb=KB, wb=WB, unroll=UNROLL),
-    "fused-resident": lambda st: cloudsc2_ad_pallas_fused(
-        st, dt, c, kb=KB, wb=WB, unroll=UNROLL, resident=True
-    ),
-}
+@partial(jax.jit, static_argnames=("n", "ix"))
+def chain(state, n, ix):
+    variant, kb, wb, unroll, fwd_unroll = COMBOS[ix]
+    kw = {} if fwd_unroll is None else {"fwd_unroll": fwd_unroll}
 
-
-@partial(jax.jit, static_argnames=("n", "name"))
-def chain(state, n, name):
     def body(_, st):
-        tends, _d = VARIANTS[name](st)
+        tends, _d = FNS[variant](st, dt, c, kb=kb, wb=wb, unroll=unroll, **kw)
         st = dict(st)
         # depend on a REVERSE output (cml_t_i): forward-only dependence
         # lets XLA DCE the reverse sweep
@@ -93,31 +111,32 @@ def fetch(x):
 
 def main():
     live = []
-    for name in VARIANTS:
+    for ix, combo in enumerate(COMBOS):
+        label = "{}:kb={},wb={},u={},fu={}".format(*combo)
         try:
             t0 = time.time()
-            fetch(chain(state, SHORT, name))
-            fetch(chain(state, LONG, name))
-            print(json.dumps({"variant": name, "compile_s": time.time() - t0}),
+            fetch(chain(state, SHORT, ix))
+            fetch(chain(state, LONG, ix))
+            print(json.dumps({"combo": label, "compile_s": time.time() - t0}),
                   flush=True)
-            live.append(name)
+            live.append((ix, label))
         except Exception as e:
-            print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
+            print(json.dumps({"combo": label, "error": str(e)[:200]}), flush=True)
 
-    per = {name: [] for name in live}
+    per = {ix: [] for ix, _ in live}
     for _ in range(SAMPLES):
-        for name in live:  # interleaved: drift hits all variants equally
+        for ix, _ in live:  # interleaved: drift hits all combos equally
             t0 = time.perf_counter()
-            fetch(chain(state, SHORT, name))
+            fetch(chain(state, SHORT, ix))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
-            fetch(chain(state, LONG, name))
+            fetch(chain(state, LONG, ix))
             tl = time.perf_counter() - t0
-            per[name].append((tl - ts) / (LONG - SHORT))
-    for name in live:
-        med = float(np.median(per[name]))
+            per[ix].append((tl - ts) / (LONG - SHORT))
+    for ix, label in live:
+        med = float(np.median(per[ix]))
         print(json.dumps({
-            "variant": name, "kb": KB, "wb": WB, "unroll": UNROLL,
+            "combo": label,
             "per_step_ms": med * 1e3, "cols_per_sec": NCOLS / med,
         }), flush=True)
 

@@ -9,7 +9,8 @@ Mosaic compiler, with or without unroll.  Pre-folding round-1 numbers:
 all variants within 1% of 15.7M.
 Run with PYTHONPATH set so the package resolves: see benchmarks/README.md.
 """
-import time, json
+import time, json, os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -69,28 +70,35 @@ VARIANTS = [
     (8, 256, 1),
 ]
 
-for kb, wb, unroll in VARIANTS:
+
+
+if len(sys.argv) > 1:  # CLI combos "kb,wb,unroll"; interleaved sampling
+    VARIANTS = [tuple(int(x) for x in t.split(",")) for t in sys.argv[1:]]
+SAMPLES = 5
+
+live = []
+for cfg in VARIANTS:
     try:
         t0 = time.time()
-        fetch(chain(state, SHORT, kb, wb, unroll))
-        fetch(chain(state, LONG, kb, wb, unroll))
-        compile_s = time.time() - t0
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fetch(chain(state, SHORT, kb, wb, unroll))
-            ts = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            fetch(chain(state, LONG, kb, wb, unroll))
-            tl = time.perf_counter() - t0
-            per = (tl - ts) / (LONG - SHORT)
-            samples.append(per)
-        best_val = sorted(samples)[len(samples) // 2]  # median: min() is noise-biased
-        print(json.dumps({
-            "kb": kb, "wb": wb, "unroll": unroll,
-            "per_step_ms": best_val * 1e3,
-            "cols_per_sec": NCOLS / best_val,
-            "compile_s": compile_s,
-        }), flush=True)
+        fetch(chain(state, SHORT, *cfg))
+        fetch(chain(state, LONG, *cfg))
+        print(json.dumps({"cfg": cfg, "compile_s": time.time() - t0}), flush=True)
+        live.append(cfg)
     except Exception as e:
-        print(json.dumps({"kb": kb, "wb": wb, "unroll": unroll, "error": str(e)[:200]}), flush=True)
+        print(json.dumps({"cfg": cfg, "error": str(e)[:200]}), flush=True)
+
+per = {cfg: [] for cfg in live}
+for _ in range(SAMPLES):
+    for cfg in live:  # interleaved: tunnel drift hits all combos equally
+        t0 = time.perf_counter()
+        fetch(chain(state, SHORT, *cfg))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fetch(chain(state, LONG, *cfg))
+        tl = time.perf_counter() - t0
+        per[cfg].append((tl - ts) / (LONG - SHORT))
+for cfg in live:
+    med = sorted(per[cfg])[len(per[cfg]) // 2]  # median: min() is noise-biased
+    print(json.dumps({
+        "cfg": cfg, "per_step_ms": med * 1e3, "cols_per_sec": NCOLS / med,
+    }), flush=True)

@@ -59,13 +59,26 @@ from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
 Array = jnp.ndarray
 
 #: measured on v5e (within-process median-of-repeats A/B, correct
-#: reverse-output chain dependence): kb=8/wb=512/unroll=2 7.77M cols/s vs
-#: kb=16/wb=256/unroll=1 7.39M and kb=8/wb=256/unroll=2 7.59M.  (An earlier
-#: "+45% at kb=8" reading was a min()-biased tunnel artifact — see
-#: bench.py chain_seconds.)
+#: reverse-output chain dependence).  Round-3 unroll matrix at kb=8/wb=512,
+#: (reverse unroll, forward unroll) -> cols/s: (1,1) 9.47-9.51M, (2,2)
+#: 8.96-9.01M, (2,1) 7.52M, (1,2) 7.39M — MATCHED ROLLED wins ~+5%: both
+#: kernels then run ragged (137 rows, no level padding), so the 3
+#: trajectory streams flow between them with no pad/slice relayout, and
+#: mixing a padded kernel with a ragged one pays that relayout on every
+#: stream (the two mixed cells are the two worst).  Round-2's "unroll=2
+#: wins" came from a sweep that only moved kb/wb together and never
+#: measured 8/512/1.  The fused single-kernel variant is parity-at-best
+#: at its compiling configs (8/256/2: 9.01M vs twokernel 9.01M same
+#: process) and its wb=512 configs crash the remote Mosaic compiler —
+#: kept as an option, not the default (sweep_ad_fused.py).
 KB = 8
 WB = 512
-UNROLL = 2
+UNROLL = 1
+
+#: fused single-kernel defaults (see cloudsc2_ad_pallas_fused)
+FUSED_KB = 8
+FUSED_WB = 256
+FUSED_UNROLL = 2
 
 #: forward per-level inputs (as the NL kernel): the interface pressures
 #: enter the scheme only as their difference (one dp stream replaces two
@@ -93,7 +106,9 @@ SEED_NAMES = (
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll", "fwd_kb"),
+    static_argnames=(
+        "dt", "c", "interpret", "kb", "wb", "unroll", "fwd_kb", "fwd_unroll",
+    ),
 )
 def cloudsc2_ad_pallas(
     state: Dict[str, Array],
@@ -104,6 +119,7 @@ def cloudsc2_ad_pallas(
     wb: int | None = None,
     unroll: int | None = None,
     fwd_kb: int | None = None,
+    fwd_unroll: int | None = None,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
@@ -133,11 +149,16 @@ def cloudsc2_ad_pallas(
     # measured best on v5e), prefer it.  The level-block height is a
     # per-kernel knob: the forward sweep defaults to the NL kernel's own
     # measured-best kb (16) rather than the reverse kernel's VMEM-bound
-    # kb=8 — override with fwd_kb.
+    # kb=8 — override with fwd_kb.  The forward UNROLL defaults to
+    # *matching* the reverse kernel's (not the NL kernel's standalone best):
+    # matched unrolls keep both kernels' level layouts identical (both
+    # ragged or both padded), so the 3 trajectory streams flow between
+    # them with no pad/slice relayout — the measured unroll matrix above
+    # puts both mixed cells ~20% below both matched cells.
     fwd_wb = 512 if (wb < 512 and ncols % (8 * 512) == 0) else wb
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
         state, dt, c, interpret=interpret, with_trajectory=True, kb=fwd_kb,
-        wb=fwd_wb, unroll=unroll,
+        wb=fwd_wb, unroll=unroll if fwd_unroll is None else fwd_unroll,
     )
 
     # ---- reverse-kernel inputs ----
@@ -330,9 +351,13 @@ def cloudsc2_ad_pallas_fused(
             "cloudsc2_ad_pallas)"
         )
     evap = bool(c.LEVAPLS2 or c.LDRAIN1D)
-    kb = KB if kb is None else kb
-    wb = WB if wb is None else wb
-    unroll = UNROLL if unroll is None else unroll
+    # own defaults: the fused kernel's Mosaic-compiling envelope is smaller
+    # than the two-kernel pipeline's (the twokernel default 8/512/1 crashes
+    # the remote compiler when fused); 8/256/2 is its measured-best
+    # compiling config (9.01M cols/s, parity with twokernel same-process)
+    kb = FUSED_KB if kb is None else kb
+    wb = FUSED_WB if wb is None else wb
+    unroll = FUSED_UNROLL if unroll is None else unroll
     nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
 

@@ -38,12 +38,18 @@ from cloudsc2_tpu.physics.tangent_linear import (
 
 Array = jnp.ndarray
 
-#: measured on v5e (round 2, interleaved A/B): kb=8/wb=512/unroll=2 beats the
-#: round-1 default kb=8/wb=256 rolled by +10-14% (8.3-8.6M vs 7.5M cols/s);
-#: unroll=4 adds nothing, wb=1024 fails the Mosaic compile (VMEM)
+#: measured on v5e.  Round-3 interleaved A/B (post stream-folding /
+#: strength reduction): ROLLED kb=8/wb=512/unroll=1 10.02M cols/s beats
+#: unroll=2 9.45M (+6%) — rolled runs ragged (137 rows, no level padding),
+#: skipping the XLA pad copies on the 22 input streams and the output
+#: slices, and the smaller kernel body relieves the TL's VMEM pressure;
+#: 16/256/1 ties (10.0M), 8/256/1 9.67M.  (Round 2 had picked 8/512/2 over
+#: the round-1 8/256 ROLLED default (+10-14%) but never measured 8/512/1 —
+#: wb and unroll moved together.  unroll=4 adds nothing, wb=1024 fails the
+#: Mosaic compile (VMEM).)
 KB = 8
 WB = 512
-UNROLL = 2
+UNROLL = 1
 
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_t_i", "tnd_q", "tnd_q_i", "tnd_ql", "tnd_ql_i",
