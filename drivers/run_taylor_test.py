@@ -19,7 +19,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from drivers.config import DEFAULT_CONFIG, DEFAULT_IO_CONFIG
 
 
-def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64"):
+def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64",
+         tile_column=False):
     import jax.numpy as jnp
 
     from cloudsc2_tpu import iox, make_constants
@@ -48,6 +49,21 @@ def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64")
             ncols=config.num_cols, nlev=137, seed=0, dtype=dtype
         )
         c = make_constants(lphylin=True, ldrain1d=False)
+
+    if tile_column:
+        # the reference driver's default is a SINGLE column
+        # (run_taylor_test.py: --num-cols 1); the Pallas kernels need
+        # lane-aligned batches, so replicate column 0 across num_cols —
+        # the column-summed norms then equal the single-column norms.
+        # Distinct columns stay the default: their summed norms are the
+        # batched protocol, but a single column crossing a physics branch
+        # between two lambdas can legitimately break V-monotonicity.
+        import numpy as np
+
+        state_np = {
+            k: (np.repeat(v[:, :1], v.shape[1], axis=1) if np.ndim(v) == 2 else v)
+            for k, v in state_np.items()
+        }
 
     state = {k: jnp.asarray(v, dtype=dtype) for k, v in state_np.items()}
     state.update(EtaLevels(grid, c)(state))
@@ -129,9 +145,14 @@ def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64")
               "the state dtype")
 @click.option("--sharded/--no-sharded", default=False,
               help="column-shard the NL/TL schemes over all devices (shard_map)")
+@click.option("--tile-column/--no-tile-column", default=False,
+              help="replicate input column 0 across --num-cols: the "
+              "reference's single-column protocol on a lane-aligned batch "
+              "(distinct columns can legitimately break V-monotonicity when "
+              "one crosses a physics branch between two lambdas)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv_file,
-         output_csv_file_stencils, impl, floors, sharded, host_alias):
+         output_csv_file_stencils, impl, floors, sharded, tile_column, host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
@@ -146,7 +167,7 @@ def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv
         .with_host_name(host_alias)
     )
     factor2s = tuple(float(10.0 ** -(i + 1)) for i in range(10))
-    sys.exit(core(config, io_config, factor1, factor2s, impl, floors))
+    sys.exit(core(config, io_config, factor1, factor2s, impl, floors, tile_column))
 
 
 if __name__ == "__main__":
