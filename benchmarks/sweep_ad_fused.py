@@ -42,7 +42,7 @@ from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
 NCOLS = 1 << 16
 NLEV = 137
 LONG, SHORT = 32, 4
-SAMPLES = 5
+SAMPLES = int(os.environ.get("SWEEP_SAMPLES", "5"))
 
 FNS = {
     "twokernel": cloudsc2_ad_pallas,
@@ -52,22 +52,25 @@ FNS = {
 
 
 def parse_combo(tok):
-    """variant:kb,wb,unroll[,fwd_unroll] — fwd_unroll is twokernel-only
-    (the forward NL kernel's unroll; defaults to the NL kernel's best)."""
+    """variant:kb,wb,unroll[,fwd_unroll[,fwd_kb]] — fwd_* are
+    twokernel-only (the forward NL kernel's unroll/level-block; default to
+    matching the reverse unroll / the NL kernel's best kb).  0 = None."""
     variant, _, cfg = tok.partition(":")
-    kb = wb = unroll = fwd_unroll = None
+    kb = wb = unroll = fwd_unroll = fwd_kb = None
     if cfg:
         nums = [int(x) for x in cfg.split(",")]
         kb, wb, unroll = nums[:3]
-        if len(nums) > 3:
+        if len(nums) > 3 and nums[3]:
             fwd_unroll = nums[3]
-    return variant, kb, wb, unroll, fwd_unroll
+        if len(nums) > 4 and nums[4]:
+            fwd_kb = nums[4]
+    return variant, kb, wb, unroll, fwd_unroll, fwd_kb
 
 
 COMBOS = (
     [parse_combo(t) for t in sys.argv[1:]]
     if len(sys.argv) > 1
-    else [(v, None, None, None, None) for v in FNS]
+    else [(v, None, None, None, None, None) for v in FNS]
 )
 
 _, s, dt = iox.synthesize_input(ncols=4096, nlev=NLEV, seed=0, dtype=np.float32)
@@ -91,8 +94,12 @@ state = {k: jax.device_put(v) for k, v in state.items()}
 
 @partial(jax.jit, static_argnames=("n", "ix"))
 def chain(state, n, ix):
-    variant, kb, wb, unroll, fwd_unroll = COMBOS[ix]
-    kw = {} if fwd_unroll is None else {"fwd_unroll": fwd_unroll}
+    variant, kb, wb, unroll, fwd_unroll, fwd_kb = COMBOS[ix]
+    kw = {}
+    if fwd_unroll is not None:
+        kw["fwd_unroll"] = fwd_unroll
+    if fwd_kb is not None:
+        kw["fwd_kb"] = fwd_kb
 
     def body(_, st):
         tends, _d = FNS[variant](st, dt, c, kb=kb, wb=wb, unroll=unroll, **kw)
@@ -112,7 +119,7 @@ def fetch(x):
 def main():
     live = []
     for ix, combo in enumerate(COMBOS):
-        label = "{}:kb={},wb={},u={},fu={}".format(*combo)
+        label = "{}:kb={},wb={},u={},fu={},fkb={}".format(*combo)
         try:
             t0 = time.time()
             fetch(chain(state, SHORT, ix))

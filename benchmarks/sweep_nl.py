@@ -74,7 +74,7 @@ VARIANTS = [
 
 if len(sys.argv) > 1:  # CLI combos "kb,wb,unroll"; interleaved sampling
     VARIANTS = [tuple(int(x) for x in t.split(",")) for t in sys.argv[1:]]
-SAMPLES = 5
+SAMPLES = int(os.environ.get("SWEEP_SAMPLES", "5"))
 
 live = []
 for cfg in VARIANTS:

@@ -48,7 +48,7 @@ COMBOS = (
     if len(sys.argv) > 1
     else [(16, 256, 2), (8, 512, 2), (8, 256, 2), (4, 512, 2)]
 )
-SAMPLES = 5
+SAMPLES = int(os.environ.get("SWEEP_SAMPLES", "5"))
 
 live = []
 for cfg in COMBOS:

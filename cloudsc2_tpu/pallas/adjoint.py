@@ -70,8 +70,11 @@ Array = jnp.ndarray
 #: measured 8/512/1.  The fused single-kernel variant is parity-at-best
 #: at its compiling configs (8/256/2: 9.01M vs twokernel 9.01M same
 #: process) and its wb=512 configs crash the remote Mosaic compiler —
-#: kept as an option, not the default (sweep_ad_fused.py).
-KB = 8
+#: kept as an option, not the default (sweep_ad_fused.py).  Reverse kb=10
+#: beats kb=8 by a consistent +1.1-1.5% (3 processes x 9 interleaved
+#: samples; kb=11 ties kb=10, kb=14/16 rolled crash Mosaic): 137 levels =
+#: 14 blocks at kb=10 vs 18 at kb=8 — fewer sequential grid steps.
+KB = 10
 WB = 512
 UNROLL = 1
 

@@ -45,9 +45,11 @@ Array = jnp.ndarray
 #: slices, and the smaller kernel body relieves the TL's VMEM pressure;
 #: 16/256/1 ties (10.0M), 8/256/1 9.67M.  (Round 2 had picked 8/512/2 over
 #: the round-1 8/256 ROLLED default (+10-14%) but never measured 8/512/1 —
-#: wb and unroll moved together.  unroll=4 adds nothing, wb=1024 fails the
-#: Mosaic compile (VMEM).)
-KB = 8
+#: wb and unroll moved together.  unroll=4 adds nothing, wb=1024 and
+#: kb=14/16 rolled fail the Mosaic compile (VMEM).)  kb=10 beats kb=8 by a
+#: consistent +0.7-2.9% (3 processes x 9 interleaved samples): 137 levels
+#: = 14 blocks at kb=10 vs 18 at kb=8 — fewer sequential grid steps.
+KB = 10
 WB = 512
 UNROLL = 1
 
