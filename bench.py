@@ -108,7 +108,10 @@ def measure_vpu_op_rate() -> float:
     float(chain(x0, short_n)[0, 0])
     float(chain(x0, long_n)[0, 0])
     samples = []
-    for _ in range(3):
+    # 7 samples: the recorded vs_compute_roofline once swung 0.118 -> 0.097
+    # between runs purely from this denominator (3-sample median caught a
+    # tunnel window); the physics chains use REPEATS=5 for the same reason
+    for _ in range(7):
         t0 = time.perf_counter()
         float(chain(x0, short_n)[0, 0])
         ts = time.perf_counter() - t0
