@@ -157,11 +157,16 @@ def cloudsc2_ad_pallas(
     # matched unrolls keep both kernels' level layouts identical (both
     # ragged or both padded), so the 3 trajectory streams flow between
     # them with no pad/slice relayout — the measured unroll matrix above
-    # puts both mixed cells ~20% below both matched cells.
+    # puts both mixed cells ~20% below both matched cells.  The one mixed
+    # combination that avoids the relayout is padded-forward → RAGGED
+    # reverse: the ragged harness accepts the trajectory at the forward
+    # kernel's padded height directly (levelscan ``padded_traj`` path).
     fwd_wb = 512 if (wb < 512 and ncols % (8 * 512) == 0) else wb
+    fwd_u = unroll if fwd_unroll is None else fwd_unroll
+    padded_traj = fwd_u > 1 and unroll == 1
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
         state, dt, c, interpret=interpret, with_trajectory=True, kb=fwd_kb,
-        wb=fwd_wb, unroll=unroll if fwd_unroll is None else fwd_unroll,
+        wb=fwd_wb, unroll=fwd_u, padded_traj=padded_traj,
     )
 
     # ---- reverse-kernel inputs ----

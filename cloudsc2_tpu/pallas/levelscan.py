@@ -313,6 +313,7 @@ def level_scan_pallas(
     unroll: int = 1,
     zero_pad_names: Sequence[str] = (),
     pre_body: Callable | None = None,
+    return_padded: bool = False,
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -360,6 +361,18 @@ def level_scan_pallas(
     inputs keep every linearization coefficient finite.  The rolled
     default (``unroll == 1``) is unpadded (ragged edge block), so seeds
     pass through exactly with no conditions.
+
+    In the rolled (ragged) layout, level inputs may be TALLER than the
+    logical level count (which is the minimum height across them): a
+    producer kernel that ran padded can hand its ``(kp, ncols)`` streams
+    straight in with no slice/pad relayout — blocks beyond the logical
+    rows are fetched but never consumed (the in-block trip count clamps to
+    the valid rows), exactly like the native ragged edge block.
+
+    ``return_padded=True`` skips the final ``[:nlev]`` output slice and
+    returns the raw ``(klev, ncols)`` arrays — use when a downstream
+    ragged kernel consumes the outputs directly (the slice would
+    materialize a copy of every stream before the next ``pallas_call``).
     """
     if reverse and unroll > 1 and not zero_pad_names:
         raise ValueError(
@@ -379,8 +392,15 @@ def level_scan_pallas(
     out_names = tuple(out_names)
 
     sample = next(iter(level_inputs.values()))
-    nlev, ncols = sample.shape
+    # logical level count = the MINIMUM height: taller inputs are padded
+    # producer streams, allowed only in the rolled (ragged) layout
+    nlev = min(v.shape[0] for v in level_inputs.values())
+    ncols = sample.shape[1]
     dtype = sample.dtype
+    if unroll > 1 and any(v.shape[0] != nlev for v in level_inputs.values()):
+        raise ValueError(
+            "mixed level-input heights require the rolled (unroll=1) layout"
+        )
     if dtype == jnp.float64:
         raise ValueError(
             "Pallas kernels require single precision (TPU Mosaic has no f64); "
@@ -504,7 +524,10 @@ def level_scan_pallas(
     if ragged:
         ins = (
             [scalar_inputs[n].astype(dtype).reshape(nlev, 1) for n in scal_names]
-            + [level_inputs[n].reshape(nlev, 8, w) for n in names]
+            # per-input heights: a taller (padded producer) stream passes
+            # through unsliced; blocks past the logical rows are fetched
+            # but never consumed (trip count clamps to the valid rows)
+            + [level_inputs[n].reshape(level_inputs[n].shape[0], 8, w) for n in names]
             + [col_inputs[n].reshape(8, w) for n in col_names]
         )
     else:
@@ -534,4 +557,6 @@ def level_scan_pallas(
         interpret=interpret,
     )(*ins)
 
+    if return_padded:
+        return {n: o.reshape(klev, ncols) for n, o in zip(out_names, outs)}
     return {n: o.reshape(klev, ncols)[:nlev] for n, o in zip(out_names, outs)}

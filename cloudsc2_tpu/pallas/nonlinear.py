@@ -59,7 +59,7 @@ LEVEL_OUTPUTS = (
     jax.jit,
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
-        "fuse_saturation", "kflag", "split", "xla_pre",
+        "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -75,6 +75,7 @@ def cloudsc2_nl_pallas(
     kflag: int = 1,
     split: bool = False,
     xla_pre: bool = False,
+    padded_traj: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -275,6 +276,10 @@ def cloudsc2_nl_pallas(
     out_names = LEVEL_OUTPUTS + (("c_rfl", "c_sfl", "c_cov") if with_trajectory else ())
     if fuse_saturation:
         out_names = out_names + ("qsat",)
+    if padded_traj and not with_trajectory:
+        raise ValueError("padded_traj requires with_trajectory=True")
+    if padded_traj and (split or xla_pre):
+        raise ValueError("padded_traj is not supported with split/xla_pre")
     named = level_scan_pallas(
         post_body if split else body,
         level_inputs=level_inputs,
@@ -293,7 +298,17 @@ def cloudsc2_nl_pallas(
         unroll=kb_ if split else (UNROLL if unroll is None else unroll),
         pre_body=pre_block if split else None,
         interpret=interpret,
+        # padded_traj: hand the trajectory streams to the (ragged) reverse
+        # kernel at the padded height — no [:nlev] slice materialization
+        # between the two pallas_calls; the regular outputs are sliced
+        # here instead (cheap: they fuse into the XLA assembly ops)
+        return_padded=padded_traj,
     )
+    if padded_traj:
+        named = {
+            n: (v if n in ("c_rfl", "c_sfl", "c_cov") else v[:nlev])
+            for n, v in named.items()
+        }
 
     zrow = jnp.zeros((1, ncols), dtype)
     fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=0)

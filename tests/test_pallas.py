@@ -395,6 +395,38 @@ def test_pallas_ad_unrolled_matches_rolled_kernel(f32_state_small, unroll):
             np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=n)
 
 
+def test_pallas_ad_padded_traj_handoff_matches_default(f32_state_small):
+    """Padded forward (fwd_unroll=2) handing its trajectory to the RAGGED
+    reverse kernel at the padded height (levelscan min-height rule +
+    ``cloudsc2_nl_pallas(padded_traj=True)``, no slice/pad relayout) must
+    reproduce the matched-rolled default.  Measured on v5e as a perf
+    negative (benchmarks/README.md §Round 3) but kept as tested harness
+    generality: level inputs taller than the logical level count."""
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.validation.symmetry import DIAG_NAMES, TEND_NAMES
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tends_tl, diags_tl = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    for name in TEND_NAMES:
+        s["tnd_" + name] = tends_tl[name]
+        s["tnd_" + name + "_i"] = tends_tl[name + "_i"]
+    for name in DIAG_NAMES:
+        s[name + "_i"] = diags_tl[name + "_i"]
+    t_ref, d_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    t_p, d_p = cloudsc2_ad_pallas(
+        s, dt, c, interpret=True, wb=128, fwd_unroll=2
+    )
+    for ref, got in ((t_ref, t_p), (d_ref, d_p)):
+        for n in ref:
+            a, b = np.asarray(got[n]), np.asarray(ref[n])
+            scale = np.abs(b).max() + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=n)
+
+
 @pytest.mark.parametrize("cfg", ["levapls2", "ldrain1d"])
 def test_pallas_ad_evap_branch_matches_scan_adjoint(f32_state_small, cfg):
     """AD kernel with the precipitation-evaporation branch compiled in
