@@ -24,6 +24,9 @@ Prints exactly ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 from functools import partial
 
@@ -123,6 +126,14 @@ def measure_vpu_op_rate() -> float:
     return 2.0 * shape[0] * shape[1] / per_step
 
 
+def note(msg: str) -> None:
+    """Progress marker on stderr (stdout carries exactly one JSON line).
+
+    The remote tunnel has multi-minute stall modes (Mosaic compile helper,
+    throughput windows); without these markers a hung run is undiagnosable."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def fetch(x) -> float:
     """Force execution + D2H of one scalar (block_until_ready alone does not
     synchronize through the remote-TPU tunnel)."""
@@ -134,8 +145,13 @@ def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
     repeats).  min() is optimistically biased here: a tunnel hiccup during
     the SHORT run shrinks the slope and inflates throughput — observed as a
     spurious +45% on one AD sweep; the median is robust both ways."""
+    t0 = time.perf_counter()
     fetch(chain(state, short_n, dt, c))
+    name = getattr(getattr(chain, "__wrapped__", chain), "__name__", "chain")
+    note(f"{name} short-chain warm-up (compile) done in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     fetch(chain(state, long_n, dt, c))
+    note(f"long-chain warm-up done in {time.perf_counter() - t0:.1f}s; timing {REPEATS} samples")
     per = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
@@ -278,6 +294,26 @@ def wait_for_device(attempts: int = 20, delay_s: float = 120.0) -> bool:
     return False
 
 
+def _watchdog(signum, frame):
+    # The tunnel has stall modes with no client-side timeout (remote Mosaic
+    # compile helper, blocking outage); if the whole measurement exceeds the
+    # budget, honor the one-JSON-line contract rather than hanging the
+    # driver indefinitely.
+    print(
+        json.dumps(
+            {
+                "metric": "nl_columns_per_sec",
+                "value": 0.0,
+                "unit": "columns/s",
+                "vs_baseline": 0.0,
+                "error": "watchdog: measurement exceeded BENCH_BUDGET_S",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(2)
+
+
 def main() -> None:
     if not wait_for_device():
         # the chip never answered: touching the backend would hang the
@@ -295,16 +331,26 @@ def main() -> None:
             )
         )
         return
+    # Arm the watchdog only once the chip has answered: the measurement
+    # itself (compiles + 3 chains + microbench) fits well inside the budget
+    # unless a tunnel stall mode bites.
+    budget = int(os.environ.get("BENCH_BUDGET_S", "3000"))
+    if budget > 0:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(budget)
+    note(f"device up; watchdog budget {budget}s")
     c = make_constants(lphylin=True, ldrain1d=False)
     state, dt = build_nl_state()
 
     # --- NL: the headline forward step (saturation + NL) ---
     t_nl = chain_seconds(chain_nl, state, dt, c, 64, 8)
     nl_cols = NCOLS / t_nl
+    note(f"NL {nl_cols / 1e6:.2f}M cols/s")
 
     s = build_tl_state(state, dt, c)
     t_tl = chain_seconds(chain_tl, s, dt, c, 32, 4)
     tl_cols = NCOLS / t_tl
+    note(f"TL {tl_cols / 1e6:.2f}M cols/s")
 
     from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 
@@ -312,6 +358,7 @@ def main() -> None:
     s_ad = build_ad_state(s, tends_tl, diags_tl)
     t_ad = chain_seconds(chain_ad, s_ad, dt, c, 32, 4)
     ad_cols = NCOLS / t_ad
+    note(f"AD {ad_cols / 1e6:.2f}M cols/s; measuring VPU op rate")
 
     sol = device_bandwidth() / bytes_per_column(NLEV, np.dtype(DTYPE.__name__).itemsize)
 
