@@ -56,10 +56,30 @@ def census(fn: Callable, args: Sequence) -> Counter:
     return counts
 
 
+#: non-arithmetic computational primitives: issued on the VPU but not
+#: floating-point *operations* in the MFLOPS sense (comparisons, boolean
+#: algebra, selects).  min/max ARE counted as flops (one ALU op on data).
+NON_FLOP = frozenset({
+    "gt", "lt", "ge", "le", "eq", "ne", "and", "or", "not", "xor",
+    "select_n", "sign", "is_finite", "iota", "reduce_and", "reduce_or",
+})
+
+
 def issue_count(counts: Counter) -> int:
     """VPU-issued ops under the serial-issue model (1 per computational
     primitive, shape plumbing excluded)."""
     return sum(v for k, v in counts.items() if k not in NON_ISSUING)
+
+
+def flop_count(counts: Counter) -> int:
+    """Floating-point operations in the classic MFLOPS sense: arithmetic
+    primitives only (each transcendental = 1 flop, as Fortran op counts do);
+    comparisons/selects/logicals excluded.  This is the single source of
+    truth for the reference-schema CSV MFLOPS column
+    (:data:`cloudsc2_tpu.utils.output.FLOPS_PER_POINT`)."""
+    return sum(
+        v for k, v in counts.items() if k not in NON_ISSUING and k not in NON_FLOP
+    )
 
 
 def weighted_count(counts: Counter) -> float:
@@ -67,6 +87,78 @@ def weighted_count(counts: Counter) -> float:
     return sum(
         WEIGHTS.get(k, 1.0) * v for k, v in counts.items() if k not in NON_ISSUING
     )
+
+
+def _sub_jaxpr(eqn):
+    """The closed sub-jaxpr of a call-like equation, if any."""
+    for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+        sub = eqn.params.get(key)
+        if sub is not None:
+            return getattr(sub, "jaxpr", sub)
+    return None
+
+
+def _weighted_depths(jaxpr, in_depths, lit_depth):
+    """Longest weighted dependent chain to each output of ``jaxpr``.
+
+    ``in_depths[i]`` seeds invar *i* (use ``-inf`` to exclude an input from
+    chain sourcing); ``lit_depth`` seeds literals/constvars (``0.0`` for the
+    all-inputs body depth, ``-inf`` when tracing chains from a specific
+    source set).  Non-issuing primitives add zero; call-like equations
+    recurse.  Depth propagation is exact for the flat level bodies this
+    package traces (no scan/while inside one level)."""
+    env = {}
+
+    def read(v):
+        if isinstance(v, jax.extend.core.Literal):
+            return lit_depth
+        return env.get(v, lit_depth)
+
+    for var, d in zip(jaxpr.invars, in_depths):
+        env[var] = d
+    for eqn in jaxpr.eqns:
+        dins = [read(v) for v in eqn.invars]
+        base = max(dins) if dins else lit_depth
+        sub = _sub_jaxpr(eqn)
+        if sub is not None and len(sub.invars) == len(eqn.invars):
+            douts = _weighted_depths(sub, dins, lit_depth)
+            for ov, d in zip(eqn.outvars, douts):
+                env[ov] = d
+            continue
+        name = eqn.primitive.name
+        w = 0.0 if name in NON_ISSUING else WEIGHTS.get(name, 1.0)
+        d = base + w
+        for ov in eqn.outvars:
+            env[ov] = d
+    return [read(v) for v in jaxpr.outvars]
+
+
+def critical_path(fn: Callable, args: Sequence, *, carry_in: int = 0,
+                  carry_out: int = 0) -> dict:
+    """Weighted critical-path depths of ``fn(*args)`` (jaxpr DAG depth with
+    the :data:`WEIGHTS` op costs as latency multipliers).
+
+    Returns ``body_depth`` — the longest dependent chain from any input to
+    any output with every input available at t=0 (the per-level serial
+    bound when consecutive levels do NOT overlap, e.g. a rolled loop) — and,
+    when ``carry_in``/``carry_out`` are given, ``carry_depth`` — the longest
+    chain from the first ``carry_in`` flattened inputs to the first
+    ``carry_out`` flattened outputs (the per-level recurrence bound when
+    independent work overlaps perfectly across levels).  The true serial
+    floor of a level scan lies between ``nlev * carry_depth`` and
+    ``nlev * body_depth`` depending on how much cross-level ILP the
+    scheduler extracts.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*args).jaxpr
+    n_in = len(jaxpr.invars)
+    body = _weighted_depths(jaxpr, [0.0] * n_in, 0.0)
+    out = {"body_depth": float(max(body))}
+    if carry_in and carry_out:
+        neg = float("-inf")
+        seeds = [0.0 if i < carry_in else neg for i in range(n_in)]
+        douts = _weighted_depths(jaxpr, seeds, neg)
+        out["carry_depth"] = float(max(douts[:carry_out]))
+    return out
 
 
 def nl_step_ops_per_column(c, dt: float, nlev: int) -> dict:
@@ -95,13 +187,23 @@ def nl_step_ops_per_column(c, dt: float, nlev: int) -> dict:
     x["eta"] = jnp.float32(0.5)
     x["scalm"] = jnp.float32(0.1)
     carry = NLCarry(col, col, col)
-    nl_counts = census(
-        lambda cr, xx: nl_level(cr, xx, col, col, dt, c)[:2], (carry, x)
-    )
+    level_fn = lambda cr, xx: nl_level(cr, xx, col, col, dt, c)[:2]  # noqa: E731
+    nl_counts = census(level_fn, (carry, x))
     sat_counts = census(
         lambda ap, t: saturation(ap, t, kflag=1, lphylin=c.LPHYLIN, c=c),
         (col, col),
     )
     issue = (issue_count(nl_counts) + issue_count(sat_counts)) * nlev
     weighted = (weighted_count(nl_counts) + weighted_count(sat_counts)) * nlev
-    return {"issue_ops_per_col": issue, "weighted_ops_per_col": weighted}
+    flops = (flop_count(nl_counts) + flop_count(sat_counts)) * nlev
+    # serial (latency) chains: the saturation pass is level-parallel XLA
+    # (never on the level scan's dependency chain), so only nl_level counts.
+    # carry = the 3 NLCarry leaves, flattened first in both args and outputs
+    paths = critical_path(level_fn, (carry, x), carry_in=3, carry_out=3)
+    return {
+        "issue_ops_per_col": issue,
+        "weighted_ops_per_col": weighted,
+        "flops_per_col": flops,
+        "crit_body_ops_per_col": paths["body_depth"] * nlev,
+        "crit_carry_ops_per_col": paths["carry_depth"] * nlev,
+    }

@@ -13,11 +13,16 @@ num-runs.  The per-stencil variant writes one column per kernel label from
 the :class:`~cloudsc2_tpu.utils.timing.Timer` accumulator (the analogue of
 GT4Py ``exec_info``), filtered by name patterns.
 
-The reference's per-column flop count lives in the external package; we
-document our own estimate here (SURVEY.md §7.3 "MFLOPS parity"):
-``FLOPS_PER_COLUMN = 250 * nlev`` — ~250 floating ops per grid point through
-the NL scheme (counted from the ~200 arithmetic ops + transcendental
-expansions in ``nl_level``).  Columns/sec is the primary metric.
+The reference's per-column flop count lives in the external package; ours
+is machine-derived (SURVEY.md §7.3 "MFLOPS parity"): the single source of
+truth is the static jaxpr census
+(:func:`cloudsc2_tpu.utils.opcensus.flop_count` over one ``nl_level`` +
+one saturation level at the default switches LPHYLIN=True, LDRAIN1D=False,
+LEVAPLS2=False), which counts arithmetic primitives only (transcendental =
+1 flop, comparisons/selects excluded).  ``FLOPS_PER_POINT`` below is that
+census value per grid point; ``tests/test_framework.py`` asserts the two
+stay equal so the CSVs, the bench JSON and the ledger agree on what one
+column costs.  Columns/sec is the primary metric.
 """
 from __future__ import annotations
 
@@ -27,8 +32,9 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-#: documented per-column flop estimate for the NL scheme at nlev levels
-FLOPS_PER_POINT = 250
+#: census-derived flops per grid point for the NL step (= opcensus
+#: ``flops_per_col / nlev`` at the default switches; test-pinned)
+FLOPS_PER_POINT = 360
 
 
 def performance_stats(

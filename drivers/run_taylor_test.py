@@ -20,7 +20,7 @@ from drivers.config import DEFAULT_CONFIG, DEFAULT_IO_CONFIG
 
 
 def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64",
-         tile_column=False):
+         tile_column=False, per_column=False):
     import jax.numpy as jnp
 
     from cloudsc2_tpu import iox, make_constants
@@ -82,7 +82,7 @@ def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64",
 
     tt = TaylorTest(
         constants=c, factor1=factor1, factor2s=factor2s, impl=config_impl,
-        floors=floors, mesh=mesh,
+        floors=floors, mesh=mesh, per_column=per_column,
     )
     Timer.reset()
     test = 13
@@ -150,9 +150,15 @@ def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64",
               "reference's single-column protocol on a lane-aligned batch "
               "(distinct columns can legitimately break V-monotonicity when "
               "one crosses a physics branch between two lambdas)")
+@click.option("--per-column/--no-per-column", default=False,
+              help="run the V-shape verdict on every column's own norm "
+              "sequence and pass iff >= 99% of columns pass individually — "
+              "the legitimate heterogeneous-batch verdict (the summed-norm "
+              "V can be broken by a single branch-crossing column)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv_file,
-         output_csv_file_stencils, impl, floors, sharded, tile_column, host_alias):
+         output_csv_file_stencils, impl, floors, sharded, tile_column, per_column,
+         host_alias):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
         .with_backend(backend)
@@ -167,7 +173,8 @@ def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv
         .with_host_name(host_alias)
     )
     factor2s = tuple(float(10.0 ** -(i + 1)) for i in range(10))
-    sys.exit(core(config, io_config, factor1, factor2s, impl, floors, tile_column))
+    sys.exit(core(config, io_config, factor1, factor2s, impl, floors, tile_column,
+                  per_column))
 
 
 if __name__ == "__main__":

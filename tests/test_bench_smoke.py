@@ -100,6 +100,70 @@ def test_wait_for_device_survives_blocking_probe(monkeypatch):
     assert calls["n"] == 3
 
 
+def test_emit_prints_exactly_once(capsys):
+    """_emit is the single JSON-line gate: a second call (e.g. the watchdog
+    racing the success print at the budget boundary, ADVICE r3) is a no-op."""
+    import json
+
+    bench._DONE.clear()
+    try:
+        bench._emit({"metric": "m", "value": 1.0})
+        bench._emit({"metric": "m", "value": 2.0})
+        lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+        assert len(lines) == 1
+        assert json.loads(lines[0])["value"] == 1.0
+    finally:
+        bench._DONE.clear()
+
+
+def test_watchdog_noop_after_done(capsys):
+    """Once the result line is out, the watchdog thread must neither print
+    nor exit the process (it would os._exit(2) otherwise — this test
+    surviving IS the assertion)."""
+    bench._DONE.set()
+    try:
+        bench._watchdog_fire()
+        assert capsys.readouterr().out == ""
+    finally:
+        bench._DONE.clear()
+
+
+def test_critical_path_census():
+    """The serial-roofline numerators (weighted jaxpr DAG depths of one
+    nl_level): carry-to-carry chain <= all-inputs body chain <= weighted
+    issue total, all positive (VERDICT r3 item 1)."""
+    from cloudsc2_tpu.utils.opcensus import nl_step_ops_per_column
+
+    c = make_constants(lphylin=True, ldrain1d=False)
+    ops = nl_step_ops_per_column(c, 600.0, 137)
+    crit_carry = ops["crit_carry_ops_per_col"]
+    crit_body = ops["crit_body_ops_per_col"]
+    assert 0 < crit_carry <= crit_body <= ops["weighted_ops_per_col"]
+    # per-level sanity band: the carry recurrence is a substantial fraction
+    # of the body, and both are far below the issue total per level
+    assert 50 < crit_carry / 137 < 500, crit_carry / 137
+    assert ops["flops_per_col"] < ops["issue_ops_per_col"]
+
+
+def test_critical_path_toy():
+    """critical_path on a hand-checkable function: depth counts the longest
+    weighted chain, and the carry chain ignores paths from non-carry args."""
+    from cloudsc2_tpu.utils.opcensus import critical_path
+
+    def f(carry, x):
+        # carry chain: carry * x + 1  -> 2 ops deep from carry
+        new_carry = carry * x + 1.0
+        # output chain from x only: x / x (div weight 14) then + carry
+        out = x / x + new_carry
+        return new_carry, out
+
+    a = jnp.ones((8,), jnp.float32)
+    paths = critical_path(f, (a, a), carry_in=1, carry_out=1)
+    assert paths["carry_depth"] == 2.0, paths
+    # body: div(14) + add(1) = 15 through the out chain
+    assert paths["body_depth"] == 15.0, paths
+
+
 def test_compute_roofline_census():
     """The compute-roofline numerator (static issued-op census of the full
     forward step) stays in the documented band (~410 issued ops per

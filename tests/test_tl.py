@@ -217,3 +217,84 @@ def test_tl_matches_jvp_with_evaporation_branch():
         a, b = np.asarray(diags_tl[n + "_i"]), np.asarray(diags_dot[n])
         scale = max(np.abs(np.asarray(diags_nl[n])).max() * 0.01, 1e-300)
         np.testing.assert_allclose(a / scale, b / scale, rtol=2e-7, atol=2e-7, err_msg=n)
+
+
+def test_per_column_penalties_match_scalar(constants):
+    """The vectorized per-column verdict (TaylorTest.column_penalties) is
+    the reference scalar state machine (validation.py:183-217) applied to
+    each column: asserted sequence-by-sequence on crafted edge cases plus
+    200 random norm sequences."""
+    rng = np.random.default_rng(0)
+    tt = TaylorTest(constants=constants, floors="f64")
+    crafted = np.array([
+        # clean V (pass 0)
+        [1.3, 1.05, 1.008, 1.002, 1.00005, 1.002, 1.05, 1.2, 1.4, 1.9],
+        # monotone descent that never turns -> 11 (+floors)
+        [1.3, 1.2, 1.1, 1.05, 1.02, 1.01, 1.005, 1.002, 1.001, 1.0005],
+        # first |1-norm| < 0.5 after index 3 -> error 13
+        [9.0, 9.0, 9.0, 9.0, 1.3, 1.05, 1.01, 1.05, 1.3, 2.0],
+        # never within 0.5 -> error 13
+        [9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0],
+        # W shape: two descent breaks -> +20
+        [1.3, 1.05, 1.01, 1.05, 1.01, 1.005, 1.05, 1.2, 1.4, 1.9],
+        # underflow tail: norms collapse to 0 (dev = 1, flat tail)
+        [1.3, 1.05, 1.002, 1.00002, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    ])
+    seqs = np.vstack([crafted, rng.uniform(0.0, 2.5, size=(200, 10))])
+    from cloudsc2_tpu.validation.taylor import FLOORS
+
+    floor7, floor5 = FLOORS["f64"]
+    pens = TaylorTest.column_penalties(seqs.T, floor7, floor5, strict=True)
+    for j, seq in enumerate(seqs):
+        scalar = tt.validate(seq, verbose=False)
+        assert pens[j] == scalar, (j, seq.tolist(), int(pens[j]), scalar)
+
+    # the adapted (default) machine agrees with the strict one on the clean
+    # canonical shapes: V (0), monotone L (11+floors), late/no start (13)
+    adapted = TaylorTest.column_penalties(crafted.T, floor7, floor5)
+    strict = TaylorTest.column_penalties(crafted.T, floor7, floor5, strict=True)
+    for j in (0, 1, 2, 3):
+        assert adapted[j] == strict[j], (j, adapted[j], strict[j])
+
+
+def test_per_column_adapted_machine_relaxations():
+    """The two documented relaxations of the per-column verdict
+    (taylor.py column_penalties docstring): post-bottom rounding jitter is
+    not penalized, and the V may start at any of the first four factors."""
+    from cloudsc2_tpu.validation.taylor import FLOORS, TaylorTest
+
+    floor7, floor5 = FLOORS["f64"]
+    # clean descent to 1e-9, then jittery rounding-dominated ascent
+    jitter_tail = np.array(
+        [1.3, 1.05, 1.002, 1.0001, 1 + 1e-6, 1 + 1e-9, 1 + 7e-6, 1 + 5e-6,
+         1 + 6e-6, 1 + 4e-4]
+    )
+    # |1-norm|=0.12 at factor 0 (accidentally near 1), branch-crossing bump
+    # at factor 1, then a clean V
+    late_v = np.array(
+        [1.12, 3.7, 1.0001, 1 + 1e-5, 1 + 1e-6, 1 + 2e-7, 1 + 1e-5, 1 + 1e-3,
+         1.01, 1.1]
+    )
+    # a genuine pre-bottom break AFTER the skippable first-3 prefix must
+    # STILL fail in the adapted machine (no start choice can avoid it)
+    pre_bottom_w = np.array(
+        [1.3, 1.05, 1.01, 1.005, 1.001, 1.05, 1.0001, 1 + 1e-6, 1.05, 1.2]
+    )
+    seqs = np.stack([jitter_tail, late_v, pre_bottom_w], axis=1)
+    adapted = TaylorTest.column_penalties(seqs, floor7, floor5)
+    strict = TaylorTest.column_penalties(seqs, floor7, floor5, strict=True)
+    assert adapted[0] == 0 and strict[0] > 5, (adapted[0], strict[0])
+    assert adapted[1] == 0 and strict[1] > 5, (adapted[1], strict[1])
+    assert adapted[2] > 5 and strict[2] > 5, (adapted[2], strict[2])
+
+
+def test_taylor_test_per_column_passes(state_with_qsat, constants):
+    """Per-column mode (driver --per-column): a heterogeneous 100-column
+    batch passes with >= 99% of columns showing individual V-shapes, even
+    though the column-SUMMED norms may legitimately break monotonicity
+    (VERDICT r3 weak #5)."""
+    _, state, dt = state_with_qsat
+    tt = TaylorTest(constants=constants, per_column=True)
+    penalty = tt(state, dt, verbose=True)
+    assert tt.norms.ndim == 2 and tt.norms.shape[1] == 100
+    assert penalty <= 5, f"per-column Taylor failed: {penalty}"
