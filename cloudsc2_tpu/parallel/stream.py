@@ -40,6 +40,12 @@ def h2d_bytes_per_column(nlev: int, itemsize: int) -> int:
     return itemsize * (14 * nlev + (nlev + 1))
 
 
+#: D2H bytes per column per step with the output return leg: 4 tendencies +
+#: clc/covptot on full levels, the 4 flux diagnostics on interface levels
+def d2h_bytes_per_column(nlev: int, itemsize: int) -> int:
+    return itemsize * (6 * nlev + 4 * (nlev + 1))
+
+
 def build_ring(
     state_np: Dict[str, np.ndarray], chunk_cols: int, ring_size: int
 ) -> list:
@@ -76,16 +82,30 @@ def stream_columns(
     chunk_cols: int,
     ring_size: int = 4,
     impl: str = "auto",
+    stream_outputs: bool = False,
 ) -> Tuple[dict, Tuple[Dict[str, Array], Dict[str, Array]]]:
     """Sweep ``total_cols`` columns through the device in ``chunk_cols``
     chunks, double-buffering H2D against compute.
 
     Returns ``(stats, (tends0, diags0))`` where ``stats`` has the timed
-    end-to-end throughput and ``tends0/diags0`` are chunk 0's outputs (kept
-    on device) for golden validation.  The reference driver likewise keeps
-    outputs in preallocated device storages during its hot loop
-    (``run_nonlinear.py:109-119``); here every chunk's tendencies reduce to
-    one scalar on device so the sweep never synchronizes mid-stream.
+    end-to-end throughput and ``tends0/diags0`` are chunk 0's outputs for
+    golden validation.
+
+    ``stream_outputs=False`` (half duplex): every chunk's tendencies reduce
+    to one scalar on device so the sweep never synchronizes mid-stream;
+    chunk 0's outputs stay on device.
+
+    ``stream_outputs=True`` (full duplex — the reference contract,
+    ``run_nonlinear.py:112-119``: output fields materialized on the host
+    every run): each chunk's full tendency+diagnostic set is streamed back
+    into a host ring of ``ring_size`` reused buffers, overlapped with the
+    next chunk's H2D + compute — ``copy_to_host_async`` starts the D2H
+    right after the kernels are enqueued, and the blocking materialize of
+    chunk *i* happens only after chunk *i+1*'s transfer and compute have
+    been enqueued (a one-chunk-deep pipeline).  The host ring bounds RAM
+    exactly like the reference's preallocated ``out=`` storages; chunk 0's
+    HOST copy is what is returned for golden validation, so the validated
+    sample certifies the D2H path itself.
     """
     from cloudsc2_tpu.parallel.step import forward_step
     from cloudsc2_tpu.physics.diagnostics import eta_levels
@@ -113,7 +133,26 @@ def stream_columns(
     jax.block_until_ready(tends0["t"])
     float(jnp.sum(tends0["t"][0]))  # D2H sync (tunnel-safe)
 
+    out_ring: list = [None] * ring_size
+    sample_host: tuple | None = None
+
+    def start_d2h(outs) -> None:
+        for d in outs:
+            for v in d.values():
+                v.copy_to_host_async()
+
+    def materialize(i: int, outs) -> None:
+        # blocking host materialize into the reused ring slot; the async
+        # copy above has (mostly) completed by now, overlapped with the
+        # NEXT chunk's H2D + compute
+        nonlocal sample_host
+        host = tuple({k: np.asarray(v) for k, v in d.items()} for d in outs)
+        out_ring[i % ring_size] = host
+        if i == 0:
+            sample_host = host
+
     sums = []
+    pending: tuple | None = None
     t_start = time.perf_counter()
     nxt = put(0)
     for i in range(nchunks):
@@ -122,14 +161,25 @@ def stream_columns(
             nxt = put(i + 1)
         cur["eta"] = eta
         tends, diags = step(cur)
-        sums.append(jnp.sum(tends["t"]))
-        if i == 0:
-            tends0, diags0 = tends, diags
-    checksum = float(jnp.sum(jnp.stack(sums)))  # single end-of-sweep sync
+        if stream_outputs:
+            start_d2h((tends, diags))
+            if pending is not None:
+                materialize(*pending)
+            pending = (i, (tends, diags))
+        else:
+            sums.append(jnp.sum(tends["t"]))
+            if i == 0:
+                tends0, diags0 = tends, diags
+    if stream_outputs:
+        materialize(*pending)
+        checksum = float(sample_host[0]["t"].sum())
+    else:
+        checksum = float(jnp.sum(jnp.stack(sums)))  # single end-of-sweep sync
     wall = time.perf_counter() - t_start
 
     cols = nchunks * chunk_cols
-    bpc = h2d_bytes_per_column(nlev, ring[0]["ap"].dtype.itemsize)
+    itemsize = ring[0]["ap"].dtype.itemsize
+    bpc = h2d_bytes_per_column(nlev, itemsize)
     stats = {
         "total_cols": cols,
         "chunk_cols": chunk_cols,
@@ -140,4 +190,10 @@ def stream_columns(
         "effective_h2d_gbps": cols / wall * bpc / 1e9,
         "checksum": checksum,
     }
+    if stream_outputs:
+        d_bpc = d2h_bytes_per_column(nlev, itemsize)
+        stats["d2h_bytes_per_col"] = d_bpc
+        stats["effective_d2h_gbps"] = cols / wall * d_bpc / 1e9
+        stats["duplex_bytes_per_col"] = bpc + d_bpc
+        tends0, diags0 = sample_host
     return stats, (tends0, diags0)

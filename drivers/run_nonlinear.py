@@ -103,9 +103,11 @@ def core(config, io_config, impl="auto"):
         from cloudsc2_tpu.parallel.stream import stream_columns
 
         ring_size = getattr(config, "_stream_ring", 4)
+        stream_outputs = getattr(config, "_stream_outputs", False)
         stats, (tends, diags) = stream_columns(
             state_np, dt, c, total_cols=config.num_cols,
             chunk_cols=stream_chunk, ring_size=ring_size, impl=impl,
+            stream_outputs=stream_outputs,
         )
         print(
             f"Streamed {stats['total_cols']} columns in {stats['nchunks']} "
@@ -114,6 +116,13 @@ def core(config, io_config, impl="auto"):
             f"(effective H2D {stats['effective_h2d_gbps']:.2f} GB/s at "
             f"{stats['h2d_bytes_per_col']} B/column)"
         )
+        if stream_outputs:
+            print(
+                f"Full duplex: outputs streamed to host ring buffers "
+                f"(effective D2H {stats['effective_d2h_gbps']:.2f} GB/s at "
+                f"{stats['d2h_bytes_per_col']} B/column; "
+                f"{stats['duplex_bytes_per_col']} B/column total link traffic)"
+            )
         if config.enable_validation and config.reference_file:
             tends_np = {k: np.asarray(v) for k, v in tends.items()}
             diags_np = {
@@ -329,13 +338,18 @@ def config_tolerances(config):
               "run — use lane-aligned chunks, e.g. 65536, for the Pallas path)")
 @click.option("--stream-ring", type=int, default=4,
               help="distinct host-resident chunk buffers cycled by the stream")
+@click.option("--stream-outputs/--no-stream-outputs", default=False,
+              help="full-duplex streaming: materialize every chunk's "
+              "tendencies+diagnostics into host ring buffers overlapped "
+              "with compute (the reference's outputs-every-run contract); "
+              "the validated sample then certifies the D2H path")
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
     input_file, reference_file, atol, rtol, sharded, distributed, coordinator,
     process_id, num_processes, output_csv_file,
     output_csv_file_stencils, profile_dir, impl, fast_div, stream_chunk,
-    stream_ring, host_alias,
+    stream_ring, stream_outputs, host_alias,
 ):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
@@ -368,6 +382,7 @@ def main(
     object.__setattr__(config, "_fast_div", fast_div)
     object.__setattr__(config, "_stream_chunk", stream_chunk)
     object.__setattr__(config, "_stream_ring", stream_ring)
+    object.__setattr__(config, "_stream_outputs", stream_outputs)
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
         .with_output_csv_file_stencils(output_csv_file_stencils)
