@@ -314,6 +314,7 @@ def level_scan_pallas(
     zero_pad_names: Sequence[str] = (),
     pre_body: Callable | None = None,
     return_padded: bool = False,
+    interleave: int = 1,
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -373,6 +374,17 @@ def level_scan_pallas(
     returns the raw ``(klev, ncols)`` arrays — use when a downstream
     ragged kernel consumes the outputs directly (the slice would
     materialize a copy of every stream before the next ``pallas_call``).
+
+    ``interleave=N`` processes N INDEPENDENT ``(8, wb)`` column sub-tiles
+    per kernel instance, each with its own carry, their per-level bodies
+    alternated in program order (chain 0 level k, chain 1 level k,
+    chain 0 level k+1, ...).  This is NOT wb-widening: widening makes each
+    vector op longer but leaves the serial chain count unchanged, whereas
+    interleaving gives the Mosaic scheduler program-order-adjacent
+    *independent* work to issue across each chain's loop-carried
+    dependency stalls — the one ILP lever distinct from tiling (VERDICT r3
+    item 2).  The block width becomes ``interleave * wb`` (ncols must be a
+    multiple of ``8 * wb * interleave``); incompatible with ``pre_body``.
     """
     if reverse and unroll > 1 and not zero_pad_names:
         raise ValueError(
@@ -386,6 +398,10 @@ def level_scan_pallas(
             "block results are vector values, which cannot be dynamically "
             "row-indexed by a traced fori_loop counter inside Mosaic"
         )
+    if interleave < 1:
+        raise ValueError(f"interleave={interleave} must be >= 1")
+    if interleave > 1 and pre_body is not None:
+        raise ValueError("interleave is incompatible with pre_body")
     names = tuple(level_inputs)
     col_names = tuple(col_inputs)
     scal_names = tuple(scalar_inputs)
@@ -406,10 +422,11 @@ def level_scan_pallas(
             "Pallas kernels require single precision (TPU Mosaic has no f64); "
             "use the lax.scan implementation (the f64 oracle) instead"
         )
-    if ncols % (8 * wb) != 0:
-        raise ValueError(f"ncols={ncols} must be a multiple of {8 * wb}")
+    wbt = wb * interleave  # physical block width: `interleave` chains of wb
+    if ncols % (8 * wbt) != 0:
+        raise ValueError(f"ncols={ncols} must be a multiple of {8 * wbt}")
     w = ncols // 8
-    nj = w // wb
+    nj = w // wbt
     kp = math.ceil(nlev / kb) * kb
     nkb = kp // kb
     u = max(min(unroll, kb), 1)
@@ -466,22 +483,52 @@ def level_scan_pallas(
         else:
             preb = {}
 
-        def step_at(row, carry):
-            x = {n: r[row] for n, r in zip(names, level_refs)}
+        if interleave == 1:
+            cols_by_chain = [col]
+        else:
+            cols_by_chain = [
+                {n: v[:, ci * wb:(ci + 1) * wb] for n, v in col.items()}
+                for ci in range(interleave)
+            ]
+
+        def step_at(row, carry, ci=0):
             g = ar_kb * kb + row
+            if interleave == 1:
+                x = {n: r[row] for n, r in zip(names, level_refs)}
+            else:
+                x = {
+                    n: r[row, :, ci * wb:(ci + 1) * wb]
+                    for n, r in zip(names, level_refs)
+                }
             for n, r in zip(scal_names, scal_refs):
                 x[n] = r[g, 0]
             for n, v in preb.items():
                 x[n] = v[row]
-            carry, outs = body(carry, x, col, g)
+            carry, outs = body(carry, x, cols_by_chain[ci], g)
             for n, r in zip(out_names, out_refs):
-                r[row] = outs[n]
+                if interleave == 1:
+                    r[row] = outs[n]
+                else:
+                    r[row, :, ci * wb:(ci + 1) * wb] = outs[n]
             return carry
 
-        carry = tuple(carry_ref[j] for j in range(ncarry))
+        # one independent carry per interleaved chain (chain ci owns scratch
+        # rows ci*ncarry .. (ci+1)*ncarry); per level, the chains' bodies sit
+        # adjacent in program order so Mosaic can issue one chain's
+        # independent ops across another's carry-dependency stalls
+        chains = tuple(
+            tuple(carry_ref[ci * ncarry + j] for j in range(ncarry))
+            for ci in range(interleave)
+        )
+
+        def substep(row, chains):
+            return tuple(
+                step_at(row, chains[ci], ci) for ci in range(interleave)
+            )
+
         if u >= kb:
             for i in range(kb):
-                carry = step_at((kb - 1 - i) if reverse else i, carry)
+                chains = substep((kb - 1 - i) if reverse else i, chains)
         elif u > 1:
             # manual partial unroll: Mosaic's fori_loop only supports full
             # unroll, so widen the loop body by hand — u levels per
@@ -490,35 +537,36 @@ def level_scan_pallas(
             if kb % u != 0:
                 raise ValueError(f"unroll={u} must divide kb={kb}")
 
-            def block(b, carry):
+            def block(b, chains):
                 for j in range(u):
                     i = b * u + j
-                    carry = step_at((kb - 1 - i) if reverse else i, carry)
-                return carry
+                    chains = substep((kb - 1 - i) if reverse else i, chains)
+                return chains
 
-            carry = jax.lax.fori_loop(0, kb // u, block, carry)
+            chains = jax.lax.fori_loop(0, kb // u, block, chains)
         else:
             # rolled default: iterate only the valid rows (top-down:
             # 0..valid-1; bottom-up: valid-1..0 — the ragged rows sit at
             # the high end of the edge block in both directions)
-            carry = jax.lax.fori_loop(
+            chains = jax.lax.fori_loop(
                 0,
                 valid,
-                lambda i, c: step_at((valid - 1 - i) if reverse else i, c),
-                carry,
+                lambda i, cs: substep((valid - 1 - i) if reverse else i, cs),
+                chains,
             )
-        for j in range(ncarry):
-            carry_ref[j] = carry[j]
+        for ci in range(interleave):
+            for j in range(ncarry):
+                carry_ref[ci * ncarry + j] = chains[ci][j]
 
     if reverse:
         level_spec = pl.BlockSpec(
-            (kb, 8, wb), lambda j, k: (nkb - 1 - k, 0, j), memory_space=pltpu.VMEM
+            (kb, 8, wbt), lambda j, k: (nkb - 1 - k, 0, j), memory_space=pltpu.VMEM
         )
     else:
         level_spec = pl.BlockSpec(
-            (kb, 8, wb), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
+            (kb, 8, wbt), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
         )
-    col_spec = pl.BlockSpec((8, wb), lambda j, k: (0, j), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((8, wbt), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     if ragged:
@@ -548,7 +596,7 @@ def level_scan_pallas(
         + [col_spec] * len(col_names),
         out_specs=[level_spec] * len(out_names),
         out_shape=[jax.ShapeDtypeStruct((klev, 8, w), dtype) for _ in out_names],
-        scratch_shapes=[pltpu.VMEM((ncarry, 8, wb), dtype)],
+        scratch_shapes=[pltpu.VMEM((ncarry * interleave, 8, wb), dtype)],
         # column tiles are independent (carry re-zeroed at each tile's first
         # level block); only the level axis must run sequentially
         compiler_params=pltpu.CompilerParams(

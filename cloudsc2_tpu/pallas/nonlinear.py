@@ -60,6 +60,7 @@ LEVEL_OUTPUTS = (
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
         "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
+        "interleave",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -76,6 +77,7 @@ def cloudsc2_nl_pallas(
     split: bool = False,
     xla_pre: bool = False,
     padded_traj: bool = False,
+    interleave: int = 1,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -297,6 +299,7 @@ def cloudsc2_nl_pallas(
         # (small) phase-B tail is fully unrolled — required by pre_body
         unroll=kb_ if split else (UNROLL if unroll is None else unroll),
         pre_body=pre_block if split else None,
+        interleave=interleave,
         interpret=interpret,
         # padded_traj: hand the trajectory streams to the (ragged) reverse
         # kernel at the padded height — no [:nlev] slice materialization

@@ -327,6 +327,12 @@ class Constants:
     #: ``tests/test_nonlinear.py::test_mask_select_bit_exact``), different
     #: VPU op mix (mul ~1 vs select ~4 measured op-equivalents on v5e).
     MASK_SELECT: bool = False
+    #: saturation-adjustment form.  ``True`` (default): the compact
+    #: cor-free condensation quotient — exact algebra, two fewer
+    #: carry-chain divides per Newton iteration (see
+    #: ``physics/cuadjtqs.py:_nl_iter``); ``False``: the reference-shaped
+    #: ``cor``-based form, kept for A/B measurement.
+    CUADJ_COMPACT: bool = True
 
     def replace(self, **kw: Any) -> "Constants":
         return dataclasses.replace(self, **kw)

@@ -46,19 +46,39 @@ def _nl_iter(ap, t, q, p: _Phase, c: Constants, rap=None):
     """One adjustment iteration (reference ``f_cuadjtqs_nl_0``, ``:24-35``).
 
     One reciprocal of ``t - z4es`` serves both the saturation-pressure
-    exponent and ``z2s`` (replacing two of the four divides); ``rap``
-    optionally supplies a precomputed ``1/ap`` (non-exact modes only — the
-    exact path keeps the reference's division bit-for-bit).
+    exponent and ``z2s`` (replacing two of the four divides).
+
+    The default ``CUADJ_COMPACT`` form is the exact algebraic collapse of
+    the reference's ``cor``-based expression (multiply the condensation
+    quotient through by ``u^2`` where ``u = 1 - RETV*qsat``):
+
+        cond = (q*u - s) * u / (u*u + s*z2s),   s = min(foeew/ap, ZQMAX)
+
+    which removes TWO carry-chain divides per iteration (``cor`` and the
+    shared ``foeew/ap`` via the precomputed off-chain ``rap``) — the top of
+    the critical-path census worklist (``benchmarks/critpath_report.py``:
+    the two cuadjtqs iterations carry ~135 of the 161 weighted ops on the
+    level recurrence).  ``u`` is well-conditioned (``s <= 0.5`` so
+    ``u >= 0.7``); the re-association is exact algebra, within ~1 ulp of
+    the reference form (absorbed by the oracle/golden tolerances, see
+    CLAUDE.md).  ``CUADJ_COMPACT=False`` keeps the reference-shaped form
+    for A/B measurement.
     """
     fd = c.FAST_DIV
     rt4 = rcp(t - p.z4es, fd)
     foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
-    qsat0 = foeew * rap if (rap is not None and fd != "exact") else div(foeew, ap, fd)
-    qsat = jnp.minimum(qsat0, c.ZQMAX)
-    cor = rcp(1.0 - c.RETV * qsat, fd)
-    qsat = qsat * cor
-    z2s = p.z5alcp * rt4 * rt4
-    cond = div(q - qsat, 1.0 + qsat * cor * z2s, fd)
+    if getattr(c, "CUADJ_COMPACT", True):
+        s = jnp.minimum(foeew * (rap if rap is not None else rcp(ap, fd)), c.ZQMAX)
+        u = 1.0 - c.RETV * s
+        z2s = p.z5alcp * rt4 * rt4
+        cond = div((q * u - s) * u, u * u + s * z2s, fd)
+    else:
+        qsat0 = foeew * rap if (rap is not None and fd != "exact") else div(foeew, ap, fd)
+        qsat = jnp.minimum(qsat0, c.ZQMAX)
+        cor = rcp(1.0 - c.RETV * qsat, fd)
+        qsat = qsat * cor
+        z2s = p.z5alcp * rt4 * rt4
+        cond = div(q - qsat, 1.0 + qsat * cor * z2s, fd)
     return t + p.zaldcp * cond, q - cond
 
 
@@ -93,17 +113,34 @@ def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants, qp=None):
     noclip = qsat <= c.ZQMAX
     qsat = jnp.minimum(qsat, c.ZQMAX)
     qsat_i = sel0(fmask(noclip, qsat) if c.MASK_SELECT else noclip, qsat_i)
-    cor = rcp(1.0 - c.RETV * qsat, fd)
-    cor_i = c.RETV * qsat_i * cor * cor
-    qsat_i = qsat_i * cor + qsat * cor_i
-    qsat = qsat * cor
     z2s = p.z5alcp * rt4 * rt4
     z2s_i = -2.0 * z2s * t_i * rt4
-    rdenom = rcp(1.0 + qsat * cor * z2s, fd)
-    cond = (q - qsat) * rdenom
-    cond_i = (q_i - qsat_i) * rdenom - (q - qsat) * (
-        qsat_i * cor * z2s + qsat * cor_i * z2s + qsat * cor * z2s_i
-    ) * rdenom * rdenom
+    if getattr(c, "CUADJ_COMPACT", True):
+        # derivative of the compact cor-free form (see ``_nl_iter``):
+        # cond = (q*u - s)*u / (u*u + s*z2s), u = 1 - RETV*s.  One shared
+        # reciprocal of the denominator serves value and perturbation
+        # (old form: two extra divides through ``cor``).
+        s, s_i = qsat, qsat_i
+        u = 1.0 - c.RETV * s
+        u_i = -c.RETV * s_i
+        w = q * u - s
+        num = w * u
+        den = u * u + s * z2s
+        num_i = (q_i * u + q * u_i - s_i) * u + w * u_i
+        den_i = 2.0 * u * u_i + s_i * z2s + s * z2s_i
+        rden = rcp(den, fd)
+        cond = num * rden
+        cond_i = (num_i - cond * den_i) * rden
+    else:
+        cor = rcp(1.0 - c.RETV * qsat, fd)
+        cor_i = c.RETV * qsat_i * cor * cor
+        qsat_i = qsat_i * cor + qsat * cor_i
+        qsat = qsat * cor
+        rdenom = rcp(1.0 + qsat * cor * z2s, fd)
+        cond = (q - qsat) * rdenom
+        cond_i = (q_i - qsat_i) * rdenom - (q - qsat) * (
+            qsat_i * cor * z2s + qsat * cor_i * z2s + qsat * cor * z2s_i
+        ) * rdenom * rdenom
     return t + p.zaldcp * cond, t_i + p.zaldcp * cond_i, q - cond, q_i - cond_i
 
 
@@ -116,11 +153,22 @@ def cuadjtqs_tl(ap, ap_i, t, t_i, q, q_i, c: Constants):
     return t, t_i, q, q_i
 
 
-def _fwd_iter_traj(ap, t, q, p: _Phase, c: Constants):
+def _fwd_iter_traj(ap, t, q, p: _Phase, c: Constants, rap=None):
     """Forward iteration storing the trajectory needed by the reverse sweep."""
     fd = c.FAST_DIV
     rt4 = rcp(t - p.z4es, fd)
     foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
+    if getattr(c, "CUADJ_COMPACT", True):
+        s0 = foeew * (rap if rap is not None else rcp(ap, fd))
+        clip = s0 > c.ZQMAX
+        s = jnp.where(clip, c.ZQMAX, s0)
+        u = 1.0 - c.RETV * s
+        z2s = p.z5alcp * rt4 * rt4
+        w = q * u - s
+        rden = rcp(u * u + s * z2s, fd)
+        cond = w * u * rden
+        traj = (t, q, foeew, s, u, z2s, w, rden, rt4, clip)
+        return t + p.zaldcp * cond, q - cond, traj
     qsat0 = div(foeew, ap, fd)
     clip = qsat0 > c.ZQMAX
     qsat_unc = jnp.where(clip, c.ZQMAX, qsat0)
@@ -139,14 +187,45 @@ def cuadjtqs_ad(ap, ap_i, t, t_i, q, q_i, c: Constants):
     (``physics/adjoint/_stencils/cuadjtqs.py:52-158``): recompute both
     iterations storing per-iteration trajectory, then sweep back through
     iteration 2 and iteration 1.  Returns ``(ap_i, t, t_i, q, q_i)`` where
-    ``t, q`` are the adjusted (forward) values.
+    ``t, q`` are the adjusted (forward) values.  The ``CUADJ_COMPACT``
+    branch is the exact transpose of the compact TL form (asserted against
+    ``jax.vjp`` of :func:`cuadjtqs_nl` by
+    ``tests/test_adjoint.py::test_cuadjtqs_ad_matches_vjp``).
     """
+    fd = c.FAST_DIV
     p = _select_phase(t, c)
+    rap = rcp(ap, fd)
+    if getattr(c, "CUADJ_COMPACT", True):
+        t1, q1, traj1 = _fwd_iter_traj(ap, t, q, p, c, rap)
+        t2, q2, traj2 = _fwd_iter_traj(ap, t1, q1, p, c, rap)
+        qp_i = jnp.zeros_like(ap)
+        for traj in (traj2, traj1):
+            targ, q_in, foeew, s, u, z2s, w, rden, rt4, clip = traj
+            cond_b = p.zaldcp * t_i - q_i
+            w_b = u * rden * cond_b
+            u_b = w * rden * cond_b
+            den_b = -(w * u) * rden * rden * cond_b
+            u_b = u_b + 2.0 * u * den_b
+            s_b = z2s * den_b
+            z2s_b = s * den_b
+            q_i = q_i + u * w_b
+            u_b = u_b + q_in * w_b
+            s_b = s_b - w_b
+            s_b = s_b - c.RETV * u_b
+            s_b = jnp.where(clip, 0.0, s_b)
+            foeew_b = rap * s_b
+            qp_i = qp_i + foeew * s_b
+            rt4_b = 2.0 * p.z5alcp * rt4 * z2s_b
+            e_b = foeew * foeew_b
+            t_i = t_i + p.z3es * rt4 * e_b
+            rt4_b = rt4_b + p.z3es * (targ - c.RTT) * e_b
+            t_i = t_i - rt4 * rt4 * rt4_b
+        ap_i = ap_i - qp_i * rap * rap
+        return ap_i, t2, t_i, q2, q_i
+
     t1, q1, traj1 = _fwd_iter_traj(ap, t, q, p, c)
     t2, q2, traj2 = _fwd_iter_traj(ap, t1, q1, p, c)
 
-    fd = c.FAST_DIV
-    rap = rcp(ap, fd)
     qp_i = jnp.zeros_like(ap)
     for traj in (traj2, traj1):
         targ, q_in, foeew, qsat_unc, qsat, cor, z2s, clip = traj

@@ -148,3 +148,39 @@ def test_ad_zero_seeds_give_zero_cotangents(state_with_qsat, constants):
         assert np.abs(np.asarray(tends_ad["cml_" + n + "_i"])).max() == 0.0
     for n in ("ap", "aph", "t", "q", "qsat", "ql", "qi", "lu", "lude", "mfd", "mfu", "supsat"):
         assert np.abs(np.asarray(diags_ad[n + "_i"])).max() == 0.0
+
+
+def test_cuadjtqs_ad_matches_vjp():
+    """The hand-written cuadjtqs adjoint (reference
+    ``adjoint/_stencils/cuadjtqs.py:22-158``) is the exact transpose of the
+    scheme: its input-side cotangents match jax.vjp of cuadjtqs_nl, in both
+    the compact (default) and reference-shaped forms."""
+    import jax
+
+    from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_ad, cuadjtqs_nl
+
+    rng = np.random.default_rng(7)
+    n = 256
+    ap = jnp.asarray(rng.uniform(2e4, 1e5, n))
+    t = jnp.asarray(rng.uniform(210.0, 310.0, n))
+    q = jnp.asarray(rng.uniform(1e-6, 2e-2, n))
+    ct_t = jnp.asarray(rng.standard_normal(n))
+    ct_q = jnp.asarray(rng.standard_normal(n))
+
+    for compact in (True, False):
+        c = make_constants(lphylin=True, ldrain1d=False).replace(
+            CUADJ_COMPACT=compact
+        )
+        (t2, q2), vjp = jax.vjp(lambda a, tt, qq: cuadjtqs_nl(a, tt, qq, c), ap, t, q)
+        ap_ref, t_ref, q_ref = vjp((ct_t, ct_q))
+        ap_i, t2h, t_i, q2h, q_i = cuadjtqs_ad(
+            ap, jnp.zeros_like(ap), t, ct_t, q, ct_q, c
+        )
+        np.testing.assert_allclose(np.asarray(t2h), np.asarray(t2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(q2h), np.asarray(q2), rtol=1e-12, atol=1e-18)
+        np.testing.assert_allclose(np.asarray(t_i), np.asarray(t_ref), rtol=1e-9,
+                                   atol=1e-12, err_msg=f"t_i compact={compact}")
+        np.testing.assert_allclose(np.asarray(q_i), np.asarray(q_ref), rtol=1e-9,
+                                   atol=1e-12, err_msg=f"q_i compact={compact}")
+        np.testing.assert_allclose(np.asarray(ap_i), np.asarray(ap_ref), rtol=1e-9,
+                                   atol=1e-16, err_msg=f"ap_i compact={compact}")

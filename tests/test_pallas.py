@@ -536,3 +536,22 @@ def test_pallas_ad_fused_matches_two_kernel(f32_state_small, kw):
             np.testing.assert_array_equal(
                 np.asarray(got[n]), np.asarray(ref[n]), err_msg=n
             )
+
+
+@pytest.mark.parametrize("unroll", [1, 2])
+def test_pallas_nl_interleaved_chains_bit_exact(f32_state_small, unroll):
+    """interleave=2 runs two independent (8, wb) column sub-tiles with
+    separate carries through the same level loop (VERDICT r3 item 2 — the
+    dual-carry-chain ILP lever).  Each column runs exactly the same ops in
+    the same order as the single-chain kernel, so the outputs must be
+    BITWISE identical; any difference is a chain/carry indexing bug."""
+    s, dt, c = f32_state_small
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
+    got = cloudsc2_nl_pallas(
+        s, dt, c, interpret=True, wb=64, unroll=unroll, interleave=2
+    )
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
+            )
