@@ -138,17 +138,62 @@ def measure_vpu_op_rate() -> float:
     return _logistic_chain_rate((137, 65536), 96, 16, 16)
 
 
-def measure_serial_op_rate() -> float:
-    """Measured chain-serial VPU op rate (element-ops/sec) on ONE (8, 512)
-    working set — the physics kernels' actual ILP envelope (one column tile,
-    every op dependent on the previous).  This is the denominator of the
-    *serial* roofline (VERDICT r3 weak #1): a level scan whose weighted
-    critical path is D ops/column cannot exceed ``serial_rate / D`` cols/s
-    no matter how it is tiled.  The working set is 4 vregs, so the rate
-    divided by 4096 is the dependent-op latency in seconds."""
-    # 448*16384 ~ 7.3M dependent steps ~ 50-100 ms of chain time: large
-    # enough that tunnel jitter (~ms) cannot bias the slope
-    return _logistic_chain_rate((8, 512), 512, 64, 16384)
+def _serial_chain_step_seconds(step_kind: str, samples_n=7) -> float:
+    """Median seconds per 2-op dependent chain step on ONE (8, 512) working
+    set — the physics kernels' actual ILP envelope (one column tile, every
+    op dependent on the previous).  ``step_kind`` selects the op pair:
+    mul (sub+mul), div (div+sub), exp (neg+exp), sqrt (sqrt+add) — all
+    numerically stable fixed-point iterations."""
+    shape, long_n, short_n, reps = (8, 512), 512, 64, 16384
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(x, n):
+        def body(_, v):
+            for _ in range(n):
+                if step_kind == "mul":
+                    v = v * (2.0 - v)
+                elif step_kind == "div":
+                    v = 2.0 - 1.0 / v
+                elif step_kind == "exp":
+                    v = jnp.exp(-v)
+                else:  # sqrt
+                    v = jnp.sqrt(v) + 0.5
+            return v
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    x0 = jnp.full(shape, 1.2345, jnp.float32)
+    float(chain(x0, short_n)[0, 0])
+    float(chain(x0, long_n)[0, 0])
+    samples = []
+    for _ in range(samples_n):
+        t0 = time.perf_counter()
+        float(chain(x0, short_n)[0, 0])
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(x0, long_n)[0, 0])
+        tl = time.perf_counter() - t0
+        samples.append((tl - ts) / (long_n - short_n) / reps)
+    return float(np.median(samples))
+
+
+def measure_serial_latency_model() -> dict:
+    """Measured chain-serial latency model (VERDICT r3 weak #1).
+
+    Returns the serial element-op rate (the denominator of the serial
+    roofline: a level scan whose latency-weighted critical path is D
+    ops/column cannot exceed ``serial_rate / D`` cols/s no matter how it is
+    tiled) plus measured LATENCY weights for div/exp/sqrt relative to one
+    mul-class op — the throughput op-equivalents (div ~14) overstate a
+    pipelined divider on a dependent chain, so the serial model must use
+    latency weights."""
+    t_mul = _serial_chain_step_seconds("mul")  # sub+mul: 2 mul-class ops
+    t1 = t_mul / 2.0
+    out = {"serial_ops_per_sec": 2.0 * 8 * 512 / t_mul}
+    for kind in ("div", "exp", "sqrt"):
+        t_step = _serial_chain_step_seconds(kind)
+        out[kind + "_latency_weight"] = max(t_step / t1 - 1.0, 1.0)
+    return out
 
 
 def note(msg: str) -> None:
@@ -480,22 +525,29 @@ def main() -> None:
     # Numerator work = static census of issued ops per column
     # (serial-issue model, ~410/level-column); denominator = the
     # same-session measured op rate (no spec guessing).
-    from cloudsc2_tpu.utils.opcensus import nl_step_ops_per_column
+    from cloudsc2_tpu.utils.opcensus import WEIGHTS, nl_step_ops_per_column
 
     ops = nl_step_ops_per_column(c, dt, NLEV)
     vpu_rate = measure_vpu_op_rate()
     vs_compute = nl_cols * ops["issue_ops_per_col"] / vpu_rate
 
     # --- serial roofline (VERDICT r3 weak #1): the level scan cannot beat
-    # (chain-serial op rate) / (weighted critical-path ops per column).
-    # Two chain lengths bracket the truth: crit_body assumes no cross-level
-    # overlap (rolled loop), crit_carry assumes perfect overlap (only the
-    # rfl/sfl/covptot recurrence serializes).  vs_serial_roofline uses the
-    # carry chain — the true hardware floor; the body-chain fraction is
-    # reported alongside.
-    serial_rate = measure_serial_op_rate()
-    vs_serial = nl_cols * ops["crit_carry_ops_per_col"] / serial_rate
-    vs_serial_body = nl_cols * ops["crit_body_ops_per_col"] / serial_rate
+    # (chain-serial op rate) / (LATENCY-weighted critical-path ops per
+    # column).  The latency weights for div/exp/sqrt are measured in the
+    # same session (a pipelined divider's chain latency is far below its
+    # 14x throughput cost).  Two chain lengths bracket the truth:
+    # crit_body assumes no cross-level overlap (rolled loop), crit_carry
+    # assumes perfect overlap (only the rfl/sfl/covptot recurrence
+    # serializes); the measured rate lands between the two fractions.
+    lat = measure_serial_latency_model()
+    lat_weights = dict(WEIGHTS)
+    for k in ("div", "exp", "sqrt"):
+        lat_weights[k] = lat[k + "_latency_weight"]
+    lat_weights["rsqrt"] = lat["sqrt_latency_weight"]
+    ops_lat = nl_step_ops_per_column(c, dt, NLEV, weights=lat_weights)
+    serial_rate = lat["serial_ops_per_sec"]
+    vs_serial = nl_cols * ops_lat["crit_carry_ops_per_col"] / serial_rate
+    vs_serial_body = nl_cols * ops_lat["crit_body_ops_per_col"] / serial_rate
 
     _emit(
         {
@@ -509,10 +561,13 @@ def main() -> None:
             "vs_serial_roofline": vs_serial,
             "vs_serial_body_roofline": vs_serial_body,
             "issue_ops_per_col": ops["issue_ops_per_col"],
-            "crit_carry_ops_per_col": ops["crit_carry_ops_per_col"],
-            "crit_body_ops_per_col": ops["crit_body_ops_per_col"],
+            "crit_carry_ops_per_col": ops_lat["crit_carry_ops_per_col"],
+            "crit_body_ops_per_col": ops_lat["crit_body_ops_per_col"],
             "vpu_ops_per_sec": vpu_rate,
             "serial_ops_per_sec": serial_rate,
+            "div_latency_weight": lat["div_latency_weight"],
+            "exp_latency_weight": lat["exp_latency_weight"],
+            "sqrt_latency_weight": lat["sqrt_latency_weight"],
         }
     )
 

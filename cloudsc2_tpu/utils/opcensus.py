@@ -98,7 +98,7 @@ def _sub_jaxpr(eqn):
     return None
 
 
-def _weighted_depths(jaxpr, in_depths, lit_depth):
+def _weighted_depths(jaxpr, in_depths, lit_depth, weights=None):
     """Longest weighted dependent chain to each output of ``jaxpr``.
 
     ``in_depths[i]`` seeds invar *i* (use ``-inf`` to exclude an input from
@@ -106,7 +106,10 @@ def _weighted_depths(jaxpr, in_depths, lit_depth):
     all-inputs body depth, ``-inf`` when tracing chains from a specific
     source set).  Non-issuing primitives add zero; call-like equations
     recurse.  Depth propagation is exact for the flat level bodies this
-    package traces (no scan/while inside one level)."""
+    package traces (no scan/while inside one level).  ``weights`` overrides
+    :data:`WEIGHTS` (e.g. measured *latency* weights for the serial model —
+    the defaults are throughput op-equivalents)."""
+    w_tbl = WEIGHTS if weights is None else weights
     env = {}
 
     def read(v):
@@ -121,12 +124,12 @@ def _weighted_depths(jaxpr, in_depths, lit_depth):
         base = max(dins) if dins else lit_depth
         sub = _sub_jaxpr(eqn)
         if sub is not None and len(sub.invars) == len(eqn.invars):
-            douts = _weighted_depths(sub, dins, lit_depth)
+            douts = _weighted_depths(sub, dins, lit_depth, weights)
             for ov, d in zip(eqn.outvars, douts):
                 env[ov] = d
             continue
         name = eqn.primitive.name
-        w = 0.0 if name in NON_ISSUING else WEIGHTS.get(name, 1.0)
+        w = 0.0 if name in NON_ISSUING else w_tbl.get(name, 1.0)
         d = base + w
         for ov in eqn.outvars:
             env[ov] = d
@@ -134,7 +137,7 @@ def _weighted_depths(jaxpr, in_depths, lit_depth):
 
 
 def critical_path(fn: Callable, args: Sequence, *, carry_in: int = 0,
-                  carry_out: int = 0) -> dict:
+                  carry_out: int = 0, weights=None) -> dict:
     """Weighted critical-path depths of ``fn(*args)`` (jaxpr DAG depth with
     the :data:`WEIGHTS` op costs as latency multipliers).
 
@@ -151,17 +154,17 @@ def critical_path(fn: Callable, args: Sequence, *, carry_in: int = 0,
     """
     jaxpr = jax.make_jaxpr(fn)(*args).jaxpr
     n_in = len(jaxpr.invars)
-    body = _weighted_depths(jaxpr, [0.0] * n_in, 0.0)
+    body = _weighted_depths(jaxpr, [0.0] * n_in, 0.0, weights)
     out = {"body_depth": float(max(body))}
     if carry_in and carry_out:
         neg = float("-inf")
         seeds = [0.0 if i < carry_in else neg for i in range(n_in)]
-        douts = _weighted_depths(jaxpr, seeds, neg)
+        douts = _weighted_depths(jaxpr, seeds, neg, weights)
         out["carry_depth"] = float(max(douts[:carry_out]))
     return out
 
 
-def nl_step_ops_per_column(c, dt: float, nlev: int) -> dict:
+def nl_step_ops_per_column(c, dt: float, nlev: int, weights=None) -> dict:
     """Per-column op budget of the full forward step (saturation + NL),
     the unit ``bench.py`` times.
 
@@ -198,8 +201,12 @@ def nl_step_ops_per_column(c, dt: float, nlev: int) -> dict:
     flops = (flop_count(nl_counts) + flop_count(sat_counts)) * nlev
     # serial (latency) chains: the saturation pass is level-parallel XLA
     # (never on the level scan's dependency chain), so only nl_level counts.
-    # carry = the 3 NLCarry leaves, flattened first in both args and outputs
-    paths = critical_path(level_fn, (carry, x), carry_in=3, carry_out=3)
+    # carry = the 3 NLCarry leaves, flattened first in both args and outputs.
+    # ``weights`` lets bench.py pass measured LATENCY weights (the defaults
+    # are throughput op-equivalents, which overstate pipelined div/sqrt on
+    # a dependent chain).
+    paths = critical_path(level_fn, (carry, x), carry_in=3, carry_out=3,
+                          weights=weights)
     return {
         "issue_ops_per_col": issue,
         "weighted_ops_per_col": weighted,
