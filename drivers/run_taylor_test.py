@@ -152,9 +152,10 @@ def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64",
               "one crosses a physics branch between two lambdas)")
 @click.option("--per-column/--no-per-column", default=False,
               help="run the V-shape verdict on every column's own norm "
-              "sequence and pass iff >= 99% of columns pass individually — "
+              "sequence and pass iff >= 98% of columns pass individually — "
               "the legitimate heterogeneous-batch verdict (the summed-norm "
-              "V can be broken by a single branch-crossing column)")
+              "V can be broken by a single branch-crossing column; a wrong "
+              "TL fails essentially every column)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(backend, num_cols, num_runs, precision, factor1, input_file, output_csv_file,
          output_csv_file_stencils, impl, floors, sharded, tile_column, per_column,

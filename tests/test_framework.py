@@ -276,7 +276,7 @@ def test_run_taylor_driver_tile_column_f32_floors():
 def test_run_taylor_driver_per_column():
     """End-to-end CLI: --per-column runs the V-shape verdict on every
     column's own norm sequence over a heterogeneous 100-column batch and
-    passes with >= 99% individual passes (VERDICT r3 weak #5) — no
+    passes with >= 98% individual passes (VERDICT r3 weak #5) — no
     --tile-column sidestep."""
     env = dict(os.environ)
     proc = subprocess.run(

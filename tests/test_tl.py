@@ -290,7 +290,7 @@ def test_per_column_adapted_machine_relaxations():
 
 def test_taylor_test_per_column_passes(state_with_qsat, constants):
     """Per-column mode (driver --per-column): a heterogeneous 100-column
-    batch passes with >= 99% of columns showing individual V-shapes, even
+    batch passes with >= 98% of columns showing individual V-shapes, even
     though the column-SUMMED norms may legitimately break monotonicity
     (VERDICT r3 weak #5)."""
     _, state, dt = state_with_qsat
