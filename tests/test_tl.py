@@ -298,3 +298,19 @@ def test_taylor_test_per_column_passes(state_with_qsat, constants):
     penalty = tt(state, dt, verbose=True)
     assert tt.norms.ndim == 2 and tt.norms.shape[1] == 100
     assert penalty <= 5, f"per-column Taylor failed: {penalty}"
+
+
+def test_per_column_f32_floors(constants):
+    """FLOORS_PER_COLUMN: a V bottoming at 3e-2 — above the scalar f32
+    floors but inside the measured per-column f32 distribution (p99
+    bottom 3.7e-2 for weakly-responding columns whose f32 NL difference
+    underflows) — passes under the distribution-calibrated per-column
+    floors (+5 only) and fails under the f64 constants."""
+    seq = np.array([1.3, 1.1, 1.05, 1.03, 1.2, 2.0, 2.0, 2.0, 2.0, 2.0])
+    mat = np.repeat(seq[:, None], 4, axis=1)
+
+    tt32 = TaylorTest(constants=constants, per_column=True, floors="f32")
+    assert tt32.validate(mat, verbose=False) == 5
+
+    tt64 = TaylorTest(constants=constants, per_column=True, floors="f64")
+    assert tt64.validate(mat, verbose=False) == 12
