@@ -23,6 +23,7 @@ ring slot so no caching layer can elide a copy).
 from __future__ import annotations
 
 import math
+import sys
 import time
 from typing import Dict, Tuple
 
@@ -83,6 +84,7 @@ def stream_columns(
     ring_size: int = 4,
     impl: str = "auto",
     stream_outputs: bool = False,
+    progress_every: int = 0,
 ) -> Tuple[dict, Tuple[Dict[str, Array], Dict[str, Array]]]:
     """Sweep ``total_cols`` columns through the device in ``chunk_cols``
     chunks, double-buffering H2D against compute.
@@ -156,6 +158,15 @@ def stream_columns(
     t_start = time.perf_counter()
     nxt = put(0)
     for i in range(nchunks):
+        if progress_every and i and i % progress_every == 0:
+            # stderr marker only (no device sync): long tunnel sweeps are
+            # otherwise undiagnosable and a killed run leaves no rate
+            el = time.perf_counter() - t_start
+            print(
+                f"[stream {time.strftime('%H:%M:%S')}] chunk {i}/{nchunks}, "
+                f"{el:.0f}s, ~{i * chunk_cols / el:.0f} cols/s",
+                file=sys.stderr, flush=True,
+            )
         cur = nxt
         if i + 1 < nchunks:
             nxt = put(i + 1)

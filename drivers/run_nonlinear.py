@@ -107,7 +107,7 @@ def core(config, io_config, impl="auto"):
         stats, (tends, diags) = stream_columns(
             state_np, dt, c, total_cols=config.num_cols,
             chunk_cols=stream_chunk, ring_size=ring_size, impl=impl,
-            stream_outputs=stream_outputs,
+            stream_outputs=stream_outputs, progress_every=16,
         )
         print(
             f"Streamed {stats['total_cols']} columns in {stats['nchunks']} "
