@@ -173,3 +173,23 @@ def test_mask_select_bit_exact(state_with_qsat):
                     rtol=1e-11, atol=1e-16,
                     err_msg=f"ad/{k} lregcl={lregcl}",
                 )
+
+
+def test_cuadjtqs_compact_matches_reference_form():
+    """CUADJ_COMPACT is exact algebra: the compact cor-free condensation
+    quotient agrees with the reference-shaped form to f64 rounding across
+    the state space (physics/cuadjtqs.py:_nl_iter)."""
+    from cloudsc2_tpu.physics.cuadjtqs import cuadjtqs_nl
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    ap = jnp.asarray(rng.uniform(2e3, 1.1e5, n))
+    t = jnp.asarray(rng.uniform(180.0, 320.0, n))
+    q = jnp.asarray(rng.uniform(0.0, 3e-2, n))
+    c = make_constants(lphylin=True, ldrain1d=False)
+    t_c, q_c = cuadjtqs_nl(ap, t, q, c)
+    t_r, q_r = cuadjtqs_nl(ap, t, q, c.replace(CUADJ_COMPACT=False))
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_r), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(q_c), np.asarray(q_r), rtol=1e-11, atol=1e-18
+    )

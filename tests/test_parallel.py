@@ -262,3 +262,30 @@ def test_dryrun_multichip_full_workload():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_taylor_driver_sharded_per_column():
+    """--sharded and --per-column compose: the per-column verdict runs on
+    the globally-gathered norms while the schemes run under shard_map on
+    the virtual 8-device mesh (columns pad to the mesh multiple)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "drivers", "run_taylor_test.py"),
+            "--backend", "cpu", "--num-cols", "100", "--sharded", "--per-column",
+        ],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "HOORAY" in proc.stdout
+    assert "columns passing individually" in proc.stdout
