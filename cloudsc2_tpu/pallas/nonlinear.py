@@ -60,7 +60,7 @@ LEVEL_OUTPUTS = (
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
         "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
-        "interleave",
+        "interleave", "pipeline",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -78,6 +78,7 @@ def cloudsc2_nl_pallas(
     xla_pre: bool = False,
     padded_traj: bool = False,
     interleave: int = 1,
+    pipeline: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -173,6 +174,33 @@ def cloudsc2_nl_pallas(
         carry, outs, _aux = nl_level(
             NLCarry(*carry), x, col["aph_s"], col["trpaus"], dt, c
         )
+        return tuple(carry), _finish(outs, x, carry_in)
+
+    #: phase-A values carried one level ahead in pipeline mode — the same
+    #: selection as the xla_pre tail streams (exp/divide-expensive values;
+    #: cheap ones recomputed bit-identically in nl_level_post) plus the
+    #: two phase-A-determined outputs (tnd_ql, clc)
+    PIPE_KEYS = (
+        "tnd_ql", "clc", "qiwc1", "prr", "cldi", "condl1", "condi1", "z2s",
+        "gdp",
+    )
+
+    def pre_row_fn(x, col, _g):
+        x2 = _add_sat(dict(x, crh_rh2=col["crh_rh2"], crh_deta1=col["crh_deta1"],
+                           crh_rsq=col["crh_rsq"]))
+        pre = nl_level_pre(x2, col["aph_s"], col["trpaus"], dt, c)
+        sel = {k: pre[k] for k in PIPE_KEYS}
+        if c.FAST_DIV != "exact":
+            sel["rap"] = pre["rap"]
+        if c.LEVAPLS2 or c.LDRAIN1D:
+            sel.update(corqs=pre["corqs"], sqr=pre["sqr"], dtgdp=pre["dtgdp"])
+        return sel
+
+    def pipe_body(carry, x, col, _g):
+        carry_in = carry
+        x = dict(x)
+        x["t2"] = x["t_fg"]
+        carry, outs, _aux = nl_level_post(NLCarry(*carry), x, dt, c)
         return tuple(carry), _finish(outs, x, carry_in)
 
     def pre_block(xb, col):
@@ -282,8 +310,10 @@ def cloudsc2_nl_pallas(
         raise ValueError("padded_traj requires with_trajectory=True")
     if padded_traj and (split or xla_pre):
         raise ValueError("padded_traj is not supported with split/xla_pre")
+    if pipeline and (split or fuse_saturation):
+        raise ValueError("pipeline is incompatible with split/fuse_saturation")
     named = level_scan_pallas(
-        post_body if split else body,
+        pipe_body if pipeline else (post_body if split else body),
         level_inputs=level_inputs,
         col_inputs=dict(
             zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
@@ -300,6 +330,7 @@ def cloudsc2_nl_pallas(
         unroll=kb_ if split else (UNROLL if unroll is None else unroll),
         pre_body=pre_block if split else None,
         interleave=interleave,
+        pre_row=pre_row_fn if pipeline else None,
         interpret=interpret,
         # padded_traj: hand the trajectory streams to the (ragged) reverse
         # kernel at the padded height — no [:nlev] slice materialization

@@ -555,3 +555,24 @@ def test_pallas_nl_interleaved_chains_bit_exact(f32_state_small, unroll):
             np.testing.assert_array_equal(
                 np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
             )
+
+
+@pytest.mark.parametrize("unroll", [1, 99])
+def test_pallas_nl_pipelined_matches_plain(f32_state_small, unroll):
+    """pipeline=True: explicit one-level software pipeline (phase A of
+    level k+1 computed in the same loop body as phase B of level k, the
+    structural lever the round-4 serial-roofline bracketing motivates).
+    Must match the plain kernel to compiler-level rounding — phase B
+    recomputes the cheap phase-A values bit-identically (the xla_pre
+    contract), so differences are XLA fusion/FMA choices only."""
+    s, dt, c = f32_state_small
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128)
+    got = cloudsc2_nl_pallas(
+        s, dt, c, interpret=True, wb=128, unroll=unroll, pipeline=True
+    )
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_allclose(
+                np.asarray(g_d[n]), np.asarray(r_d[n]), rtol=2e-5, atol=1e-6,
+                err_msg=n,
+            )
