@@ -93,71 +93,23 @@ def bytes_per_column(nlev: int, itemsize: int) -> int:
     )
 
 
-def _logistic_chain_rate(shape, long_n, short_n, reps, samples_n=7) -> float:
-    """Element-ops/sec of a serially-dependent logistic map ``x*(2-x)``
-    (2 unfoldable VPU ops per step) fused by XLA into one kernel; the
+def _microbench_step_seconds(step_fn, shape, long_n, short_n, reps,
+                             samples_n=7) -> float:
+    """Median seconds per dependent chain step of ``v = step_fn(v)``
+    unrolled ``n`` times inside a ``fori_loop`` over ``reps``; the
     long/short chain slope isolates op time from the HBM round trip and
-    dispatch.  Self-calibrating: no device-spec clock/ALU guessing."""
+    dispatch.  Self-calibrating: no device-spec clock/ALU guessing.
 
-    @partial(jax.jit, static_argnames=("n",))
-    def chain(x, n):
-        def body(_, v):
-            for _ in range(n):
-                v = v * (2.0 - v)
-            return v
-
-        return jax.lax.fori_loop(0, reps, body, x)
-
-    x0 = jnp.full(shape, 1.2345, jnp.float32)
-    float(chain(x0, short_n)[0, 0])
-    float(chain(x0, long_n)[0, 0])
-    samples = []
-    # 7 samples: the recorded vs_compute_roofline once swung 0.118 -> 0.097
-    # between runs purely from this denominator (3-sample median caught a
-    # tunnel window); the physics chains use REPEATS=5 for the same reason
-    for _ in range(samples_n):
-        t0 = time.perf_counter()
-        float(chain(x0, short_n)[0, 0])
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chain(x0, long_n)[0, 0])
-        tl = time.perf_counter() - t0
-        samples.append((tl - ts) / (long_n - short_n) / reps)
-    per_step = float(np.median(samples))  # seconds per 2-op chain step
-    n_elems = 1
-    for s in shape:
-        n_elems *= s
-    return 2.0 * n_elems / per_step
-
-
-def measure_vpu_op_rate() -> float:
-    """Measured parallel-ILP VPU op issue rate (ops/sec) — the denominator
-    of the *compute* roofline: a (137, 65536) working set gives the chip
-    ~2,200 independent vreg chains to pipeline across, i.e. unlimited ILP.
+    7 samples: the recorded vs_compute_roofline once swung 0.118 -> 0.097
+    between runs purely from this denominator (3-sample median caught a
+    tunnel window); the physics chains use REPEATS=5 for the same reason.
     """
-    return _logistic_chain_rate((137, 65536), 96, 16, 16)
-
-
-def _serial_chain_step_seconds(step_kind: str, samples_n=7) -> float:
-    """Median seconds per 2-op dependent chain step on ONE (8, 512) working
-    set — the physics kernels' actual ILP envelope (one column tile, every
-    op dependent on the previous).  ``step_kind`` selects the op pair:
-    mul (sub+mul), div (div+sub), exp (neg+exp), sqrt (sqrt+add) — all
-    numerically stable fixed-point iterations."""
-    shape, long_n, short_n, reps = (8, 512), 512, 64, 16384
 
     @partial(jax.jit, static_argnames=("n",))
     def chain(x, n):
         def body(_, v):
             for _ in range(n):
-                if step_kind == "mul":
-                    v = v * (2.0 - v)
-                elif step_kind == "div":
-                    v = 2.0 - 1.0 / v
-                elif step_kind == "exp":
-                    v = jnp.exp(-v)
-                else:  # sqrt
-                    v = jnp.sqrt(v) + 0.5
+                v = step_fn(v)
             return v
 
         return jax.lax.fori_loop(0, reps, body, x)
@@ -175,6 +127,48 @@ def _serial_chain_step_seconds(step_kind: str, samples_n=7) -> float:
         tl = time.perf_counter() - t0
         samples.append((tl - ts) / (long_n - short_n) / reps)
     return float(np.median(samples))
+
+
+def _logistic_chain_rate(shape, long_n, short_n, reps) -> float:
+    """Element-ops/sec of the serially-dependent logistic map ``x*(2-x)``
+    (2 unfoldable VPU ops per step)."""
+    per_step = _microbench_step_seconds(
+        lambda v: v * (2.0 - v), shape, long_n, short_n, reps
+    )
+    n_elems = 1
+    for s in shape:
+        n_elems *= s
+    return 2.0 * n_elems / per_step
+
+
+def measure_vpu_op_rate() -> float:
+    """Measured parallel-ILP VPU op issue rate (ops/sec) — the denominator
+    of the *compute* roofline: a (137, 65536) working set gives the chip
+    ~2,200 independent vreg chains to pipeline across, i.e. unlimited ILP.
+    """
+    return _logistic_chain_rate((137, 65536), 96, 16, 16)
+
+
+#: 2-op dependent chain steps for the serial-latency model — numerically
+#: stable fixed-point iterations: mul (sub+mul), div (div+sub),
+#: exp (neg+exp), sqrt (sqrt+add)
+_SERIAL_STEPS = {
+    "mul": lambda v: v * (2.0 - v),
+    "div": lambda v: 2.0 - 1.0 / v,
+    "exp": lambda v: jnp.exp(-v),
+    "sqrt": lambda v: jnp.sqrt(v) + 0.5,
+}
+
+
+def _serial_chain_step_seconds(step_kind: str) -> float:
+    """Median seconds per 2-op dependent chain step on ONE (8, 512) working
+    set — the physics kernels' actual ILP envelope (one column tile, every
+    op dependent on the previous).  448*16384 ~ 7.3M dependent steps per
+    chain difference: large enough that tunnel jitter cannot bias the
+    slope."""
+    return _microbench_step_seconds(
+        _SERIAL_STEPS[step_kind], (8, 512), 512, 64, 16384
+    )
 
 
 def measure_serial_latency_model() -> dict:
@@ -364,9 +358,13 @@ def wait_for_device(attempts: int = 20, delay_s: float = 120.0) -> bool:
     return False
 
 
-#: set once the final JSON line has been printed; the watchdog checks it so
-#: a race at the budget boundary can never produce a second line
+#: one-JSON-line gate: the lock makes check-and-print atomic (an Event
+#: alone would leave a check-then-print race at the budget boundary), and
+#: the module-level Timer handle lets a later main() cancel a stale
+#: watchdog from a previous run in the same process
+_EMIT_LOCK = threading.Lock()
 _DONE = threading.Event()
+_TIMER: threading.Timer | None = None
 
 
 def _watchdog_fire():
@@ -377,28 +375,31 @@ def _watchdog_fire():
     # even while the main thread is blocked inside a native call that never
     # returns to the interpreter (the GIL is released there) — exactly the
     # stall modes it targets (ADVICE r3).
-    if _DONE.is_set():
-        return
-    print(
-        json.dumps(
-            {
-                "metric": "nl_columns_per_sec",
-                "value": 0.0,
-                "unit": "columns/s",
-                "vs_baseline": 0.0,
-                "error": "watchdog: measurement exceeded BENCH_BUDGET_S",
-            }
-        ),
-        flush=True,
-    )
+    with _EMIT_LOCK:
+        if _DONE.is_set():
+            return
+        _DONE.set()
+        print(
+            json.dumps(
+                {
+                    "metric": "nl_columns_per_sec",
+                    "value": 0.0,
+                    "unit": "columns/s",
+                    "vs_baseline": 0.0,
+                    "error": "watchdog: measurement exceeded BENCH_BUDGET_S",
+                }
+            ),
+            flush=True,
+        )
     os._exit(2)
 
 
 def _emit(result: dict) -> None:
-    """Print the one JSON line exactly once (watchdog-race-safe)."""
-    if not _DONE.is_set():
-        _DONE.set()
-        print(json.dumps(result), flush=True)
+    """Print the one JSON line exactly once (atomic with the watchdog)."""
+    with _EMIT_LOCK:
+        if not _DONE.is_set():
+            _DONE.set()
+            print(json.dumps(result), flush=True)
 
 
 def certify_kernels(state, dt, c, s_tl, s_ad) -> str | None:
@@ -452,7 +453,13 @@ def certify_kernels(state, dt, c, s_tl, s_ad) -> str | None:
 
 
 def main() -> None:
-    _DONE.clear()  # fresh run (tests call main() repeatedly in one process)
+    global _TIMER
+    # fresh run (tests call main() repeatedly in one process): cancel any
+    # stale watchdog BEFORE re-arming the gate, or it could fire mid-run
+    if _TIMER is not None:
+        _TIMER.cancel()
+        _TIMER = None
+    _DONE.clear()
     if not wait_for_device():
         # the chip never answered: touching the backend would hang the
         # driver indefinitely (the axon client constructor blocks while
@@ -476,9 +483,9 @@ def main() -> None:
         note(f"bad BENCH_BUDGET_S={os.environ.get('BENCH_BUDGET_S')!r}; using 3000")
         budget = 3000
     if budget > 0:
-        timer = threading.Timer(budget, _watchdog_fire)
-        timer.daemon = True
-        timer.start()
+        _TIMER = threading.Timer(budget, _watchdog_fire)
+        _TIMER.daemon = True
+        _TIMER.start()
     note(f"device up; watchdog budget {budget}s")
     c = make_constants(lphylin=True, ldrain1d=False)
     state, dt = build_nl_state()

@@ -3,6 +3,13 @@
 prints the longest dependent chain as a primitive sequence, plus the top
 chain segments by weight — the worklist for chain-shortening rewrites.
 
+NOTE: unlike ``opcensus.critical_path`` this walker is FLAT — a call-like
+equation (e.g. the ``jit[_where]`` selects) counts as one weight-1 link
+instead of recursing.  For the level bodies the only sub-jaxprs are
+single-select ``_where`` wrappers (depth 1 either way), so the depths
+agree with the census; treat any future divergence as a sign a deeper
+sub-jaxpr appeared.  The census, not this report, is the source of truth.
+
 CPU-only (pure tracing); run: python benchmarks/critpath_report.py [tl|ad]
 """
 import collections
@@ -50,10 +57,7 @@ def longest_chain(fn, args, carry_only=False, carry_in=0, carry_out=0):
     while node is not None:
         eqn, src, w = node
         chain.append((eqn.primitive.name, w, str(eqn)[:100]))
-        if src is None:
-            break
-        _eqn2, node = None, None
-        # src is the (eqn, src, w) of the max-depth input var's producer
+        # src is the (eqn, src, w) node of the max-depth input's producer
         node = src
     chain.reverse()
     return d, chain

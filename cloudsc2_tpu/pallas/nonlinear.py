@@ -326,8 +326,11 @@ def cloudsc2_nl_pallas(
         kb=kb_,
         wb=WB if wb is None else wb,
         # split mode: phase A runs block-vectorized, so the remaining
-        # (small) phase-B tail is fully unrolled — required by pre_body
-        unroll=kb_ if split else (UNROLL if unroll is None else unroll),
+        # (small) phase-B tail is fully unrolled — required by pre_body.
+        # pipeline mode: rolled by default (pre_row supports 1 or >= kb)
+        unroll=kb_ if split
+        else (1 if pipeline and unroll is None
+              else (UNROLL if unroll is None else unroll)),
         pre_body=pre_block if split else None,
         interleave=interleave,
         pre_row=pre_row_fn if pipeline else None,

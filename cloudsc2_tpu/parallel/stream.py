@@ -137,6 +137,7 @@ def stream_columns(
 
     out_ring: list = [None] * ring_size
     sample_host: tuple | None = None
+    host_sum = 0.0  # running checksum over EVERY materialized chunk
 
     def start_d2h(outs) -> None:
         for d in outs:
@@ -144,14 +145,28 @@ def stream_columns(
                 v.copy_to_host_async()
 
     def materialize(i: int, outs) -> None:
-        # blocking host materialize into the reused ring slot; the async
-        # copy above has (mostly) completed by now, overlapped with the
-        # NEXT chunk's H2D + compute
-        nonlocal sample_host
-        host = tuple({k: np.asarray(v) for k, v in d.items()} for d in outs)
-        out_ring[i % ring_size] = host
+        # blocking host materialize into a PREALLOCATED, reused ring slot
+        # (the reference's preallocated ``out=`` storages, bounding host
+        # RAM at ring_size chunks); the async copy above has (mostly)
+        # completed by now, overlapped with the NEXT chunk's H2D + compute
+        nonlocal sample_host, host_sum
+        slot = out_ring[i % ring_size]
+        if slot is None:
+            slot = tuple(
+                {k: np.empty(v.shape, v.dtype) for k, v in d.items()}
+                for d in outs
+            )
+            out_ring[i % ring_size] = slot
+        for d_host, d_dev in zip(slot, outs):
+            for k, v in d_dev.items():
+                np.copyto(d_host[k], np.asarray(v))
+        # consume every chunk's host data (same integrity role as the
+        # half-duplex mode's on-device all-chunks reduction)
+        host_sum += float(slot[0]["t"].sum())
         if i == 0:
-            sample_host = host
+            sample_host = tuple(
+                {k: v.copy() for k, v in d.items()} for d in slot
+            )
 
     sums = []
     pending: tuple | None = None
@@ -183,7 +198,7 @@ def stream_columns(
                 tends0, diags0 = tends, diags
     if stream_outputs:
         materialize(*pending)
-        checksum = float(sample_host[0]["t"].sum())
+        checksum = host_sum  # all-chunks sum, as in half-duplex mode
     else:
         checksum = float(jnp.sum(jnp.stack(sums)))  # single end-of-sweep sync
     wall = time.perf_counter() - t_start

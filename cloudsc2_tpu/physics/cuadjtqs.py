@@ -67,7 +67,7 @@ def _nl_iter(ap, t, q, p: _Phase, c: Constants, rap=None):
     fd = c.FAST_DIV
     rt4 = rcp(t - p.z4es, fd)
     foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
-    if getattr(c, "CUADJ_COMPACT", True):
+    if c.CUADJ_COMPACT:
         s = jnp.minimum(foeew * (rap if rap is not None else rcp(ap, fd)), c.ZQMAX)
         u = 1.0 - c.RETV * s
         z2s = p.z5alcp * rt4 * rt4
@@ -115,7 +115,7 @@ def _tl_iter(ap, ap_i, t, t_i, q, q_i, p: _Phase, c: Constants, qp=None):
     qsat_i = sel0(fmask(noclip, qsat) if c.MASK_SELECT else noclip, qsat_i)
     z2s = p.z5alcp * rt4 * rt4
     z2s_i = -2.0 * z2s * t_i * rt4
-    if getattr(c, "CUADJ_COMPACT", True):
+    if c.CUADJ_COMPACT:
         # derivative of the compact cor-free form (see ``_nl_iter``):
         # cond = (q*u - s)*u / (u*u + s*z2s), u = 1 - RETV*s.  One shared
         # reciprocal of the denominator serves value and perturbation
@@ -158,7 +158,7 @@ def _fwd_iter_traj(ap, t, q, p: _Phase, c: Constants, rap=None):
     fd = c.FAST_DIV
     rt4 = rcp(t - p.z4es, fd)
     foeew = c.R2ES * jnp.exp(p.z3es * (t - c.RTT) * rt4)
-    if getattr(c, "CUADJ_COMPACT", True):
+    if c.CUADJ_COMPACT:
         s0 = foeew * (rap if rap is not None else rcp(ap, fd))
         clip = s0 > c.ZQMAX
         s = jnp.where(clip, c.ZQMAX, s0)
@@ -195,7 +195,7 @@ def cuadjtqs_ad(ap, ap_i, t, t_i, q, q_i, c: Constants):
     fd = c.FAST_DIV
     p = _select_phase(t, c)
     rap = rcp(ap, fd)
-    if getattr(c, "CUADJ_COMPACT", True):
+    if c.CUADJ_COMPACT:
         t1, q1, traj1 = _fwd_iter_traj(ap, t, q, p, c, rap)
         t2, q2, traj2 = _fwd_iter_traj(ap, t1, q1, p, c, rap)
         qp_i = jnp.zeros_like(ap)
