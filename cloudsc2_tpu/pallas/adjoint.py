@@ -176,7 +176,10 @@ def cloudsc2_ad_pallas(
     # beyond nlev, so seeds/trajectory pass through unpadded
     level_inputs = dict(fwd)
     level_inputs.update(seeds)
-    level_inputs.update({n: traj[n] for n in ("c_rfl", "c_sfl", "c_cov")})
+    # evap off: the c_cov trajectory stream and the s_covptot_i seed stream
+    # are elided end-to-end (constant-zero / unread; see _reverse_problem
+    # and the NL wrapper's elide_covptot) — update with whatever is present
+    level_inputs.update(traj)
 
     named = level_scan_pallas(
         _make_rev_body(dt, c, evap),
@@ -193,7 +196,7 @@ def cloudsc2_ad_pallas(
         # the reverse body is jax.vjp of the (exactly linear) TL — padded
         # levels with zero-padded seeds contribute exactly zero to the
         # carry cotangents (see level_scan_pallas docstring)
-        zero_pad_names=tuple("s_" + n for n in SEED_NAMES),
+        zero_pad_names=tuple("s_" + n for n in SEED_NAMES if "s_" + n in level_inputs),
         interpret=interpret,
     )
     return _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap)
@@ -234,6 +237,11 @@ def _reverse_problem(state, dt: float, c: Constants):
         "s_fplsl_i": state["fplsl_i"][1:] - c.RLVTT * state["fhpsl_i"][1:],
         "s_fplsn_i": state["fplsn_i"][1:] - c.RLSTT * state["fhpsn_i"][1:],
     }
+    if not (c.LEVAPLS2 or c.LDRAIN1D):
+        # the covptot output is identically zero with the evaporation
+        # branch compiled out, so its cotangent seed cannot influence any
+        # input cotangent (vjp through a constant) — elide the seed stream
+        del seeds["s_covptot_i"]
     col_inputs = dict(
         zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
         trpaus=trpaus,
@@ -256,7 +264,9 @@ def _make_rev_body(dt: float, c: Constants, evap: bool):
         xfwd["crh_rsq"] = col["crh_rsq"]
 
         def lin(ci, xi, aph_s_i):
-            carry = TLCarry(x["c_rfl"], x["c_sfl"], x["c_cov"], *ci)
+            # c_cov is elided when the evaporation branch is off (the TL
+            # never reads the covptot carry then)
+            carry = TLCarry(x["c_rfl"], x["c_sfl"], x.get("c_cov", z), *ci)
             carry_out, outs = tl_level(
                 carry, {**xfwd, **xi}, col["aph_s"], aph_s_i, col["trpaus"],
                 dt, c,
@@ -269,7 +279,7 @@ def _make_rev_body(dt: float, c: Constants, evap: bool):
         zi = {n: z for n in XI_NAMES}
         _, vjp = jax.vjp(lin, (z, z, z), zi, z)
         ci_cot, xi_cot, aph_s_cot = vjp(
-            (tuple(cot), tuple(x["s_" + n] for n in SEED_NAMES))
+            (tuple(cot), tuple(x.get("s_" + n, z) for n in SEED_NAMES))
         )
         outs = {"cot_" + n: xi_cot[n] for n in XI_NAMES}
         if evap:

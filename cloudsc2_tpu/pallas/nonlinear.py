@@ -60,7 +60,7 @@ LEVEL_OUTPUTS = (
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
         "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
-        "interleave", "pipeline",
+        "interleave", "pipeline", "elide_covptot",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -79,6 +79,7 @@ def cloudsc2_nl_pallas(
     padded_traj: bool = False,
     interleave: int = 1,
     pipeline: bool = False,
+    elide_covptot: bool | None = None,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -163,7 +164,9 @@ def cloudsc2_nl_pallas(
             # carry *entering* the level: the trajectory the adjoint's
             # reverse sweep re-linearizes around (the reference AD instead
             # materializes ~35 forward temporaries,
-            # adjoint/_stencils/cloudsc2.py:133-476)
+            # adjoint/_stencils/cloudsc2.py:133-476).  With the evaporation
+            # branch off, the covptot carry is identically zero and the TL
+            # never reads it — c_cov is elided with the covptot output
             outs["c_rfl"], outs["c_sfl"], outs["c_cov"] = carry_in
         return outs
 
@@ -303,7 +306,21 @@ def cloudsc2_nl_pallas(
             return tends, diags, traj
         return tends, diags
 
-    out_names = LEVEL_OUTPUTS + (("c_rfl", "c_sfl", "c_cov") if with_trajectory else ())
+    out_names = LEVEL_OUTPUTS
+    if elide_covptot is None:
+        elide_covptot = not (c.LEVAPLS2 or c.LDRAIN1D)
+    if elide_covptot:
+        if c.LEVAPLS2 or c.LDRAIN1D:
+            raise ValueError("covptot is live when the evaporation branch is on")
+        # with the evaporation branch compiled out, covptot_out is
+        # identically zero (nl_level_post: ``covptot_out = where(eact,...)``
+        # with eact always false) — elide the constant-zero output stream
+        # (36 MB of HBM writes/step at the benchmark shape) and assemble
+        # zeros in XLA; the returned diagnostics contract is unchanged
+        out_names = tuple(n for n in out_names if n != "covptot")
+    traj_names = ("c_rfl", "c_sfl") + (() if elide_covptot else ("c_cov",))
+    if with_trajectory:
+        out_names = out_names + traj_names
     if fuse_saturation:
         out_names = out_names + ("qsat",)
     if padded_traj and not with_trajectory:
@@ -358,7 +375,7 @@ def cloudsc2_nl_pallas(
     }
     diags = {
         "clc": named["clc"],
-        "covptot": named["covptot"],
+        "covptot": named.get("covptot", jnp.zeros((nlev, ncols), dtype)),
         "fplsl": fplsl,
         "fplsn": fplsn,
         "fhpsl": -fplsl * c.RLVTT,
@@ -367,6 +384,6 @@ def cloudsc2_nl_pallas(
     if fuse_saturation:
         diags["qsat"] = named["qsat"]
     if with_trajectory:
-        traj = {n: named[n] for n in ("c_rfl", "c_sfl", "c_cov")}
+        traj = {n: named[n] for n in traj_names}
         return tends, diags, traj
     return tends, diags
