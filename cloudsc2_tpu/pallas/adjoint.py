@@ -88,7 +88,7 @@ FUSED_UNROLL = 2
 #: aph slices), and the species/tendency/supsat fields only through the
 #: first-guess combines (q2/ql_fg/qi_fg replace 7 raw streams)
 FWD_INPUTS = (
-    "ap", "dp", "lu_next", "lude", "mfd", "mfu", "q2", "ql_fg", "qi_fg",
+    "ap", "dp", "lu_next", "lude", "mf", "q2", "ql_fg", "qi_fg",
     "qsat", "t_fg",
 )
 #: tangent-input names whose cotangents the reverse kernel produces.
@@ -97,7 +97,7 @@ FWD_INPUTS = (
 #: cotangents are exact linear images (coefficient 1 for the field and
 #: supsat, dt for the accumulated tendency), expanded in XLA at assembly
 XI_NAMES = (
-    "ap_i", "dp_i", "lu_next_i", "lude_i", "mfd_i", "mfu_i",
+    "ap_i", "dp_i", "lu_next_i", "lude_i", "mf_i",
     "q2_i", "ql_fg_i", "qi_fg_i", "qsat_i", "t_fg_i",
 )
 #: tangent outputs of tl_level that receive cotangent seeds
@@ -217,8 +217,9 @@ def _reverse_problem(state, dt: float, c: Constants):
         "dp": state["aph"][1:] - state["aph"][:-1],
         "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
         "lude": state["lude"],
-        "mfd": state["mfd"],
-        "mfu": state["mfu"],
+        # mass fluxes enter only as their sum (and by linearity
+        # cot_mfu = cot_mfd = cot_mf): one stream each way
+        "mf": state["mfu"] + state["mfd"],
         "q2": state["q"] + dt * state["tnd_cml_q"] + state["supsat"],
         "ql_fg": state["ql"] + dt * state["tnd_cml_ql"],
         "qi_fg": state["qi"] + dt * state["tnd_cml_qi"],
@@ -331,8 +332,8 @@ def _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap):
         qi_i=cot["qi_fg_i"],
         lu_i=jnp.concatenate([zrow, cot["lu_next_i"][:-1]], axis=0),
         lude_i=cot["lude_i"],
-        mfd_i=cot["mfd_i"],
-        mfu_i=cot["mfu_i"],
+        mfd_i=cot["mf_i"],
+        mfu_i=cot["mf_i"],
         supsat_i=cot["q2_i"],
     )
     return tends, diags

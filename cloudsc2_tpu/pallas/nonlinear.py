@@ -124,8 +124,9 @@ def cloudsc2_nl_pallas(
         "dp": state["aph"][1:] - state["aph"][:-1],
         "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
         "lude": state["lude"],
-        "mfd": state["mfd"],
-        "mfu": state["mfu"],
+        # mass fluxes enter the scheme only as their sum (nl_level_pre):
+        # one mf stream instead of two
+        "mf": state["mfu"] + state["mfd"],
         # first-guess combines precomputed in XLA (nl_level_pre accepts
         # them): 3 streams instead of the 7 raw fields
         "q2": state["q"] + dt * state["tnd_cml_q"] + state["supsat"],

@@ -95,8 +95,7 @@ def cloudsc2_tl_pallas(
         "dp": state["aph"][1:] - state["aph"][:-1],
         "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
         "lude": state["lude"],
-        "mfd": state["mfd"],
-        "mfu": state["mfu"],
+        "mf": state["mfu"] + state["mfd"],
         "qsat": state["qsat"],
         "t_fg": t_fg,
         # first-guess combines (values + perturbations) precomputed in XLA
@@ -113,8 +112,7 @@ def cloudsc2_tl_pallas(
         "dp_i": state["aph_i"][1:] - state["aph_i"][:-1],
         "lu_next_i": jnp.concatenate([lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0),
         "lude_i": state["lude_i"],
-        "mfd_i": state["mfd_i"],
-        "mfu_i": state["mfu_i"],
+        "mf_i": state["mfu_i"] + state["mfd_i"],
         "qsat_i": state["qsat_i"],
     }
 

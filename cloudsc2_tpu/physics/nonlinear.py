@@ -288,7 +288,11 @@ def nl_level_pre(
     dtdzmo = c.RG * (1.0 / c.RCPD - ldcp * rodqsdp) * fac3
     dqsdz = dqsdtemp * dtdzmo - c.RG * rodqsdp
     fac4 = c.RD * t * rap
-    sub = dt * dqsdz * (x["mfu"] + x["mfd"]) * fac4
+    # the convective mass fluxes enter the scheme ONLY through their sum
+    # (reference :217-224): the Pallas wrappers stream one precomputed
+    # ``mf`` (bit-identical add) instead of the two raw fields
+    mf = x["mf"] if "mf" in x else x["mfu"] + x["mfd"]
+    sub = dt * dqsdz * mf * fac4
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
     # qc - dqc == where(lo3, qc - sub, 0): one masked subtract; the dqc

@@ -297,11 +297,15 @@ def tl_level_pre(
     dqsdz_i = dqsdtemp_i * dtdzmo + dqsdtemp * dtdzmo_i - c.RG * rodqsdp_i
 
     fac4 = c.RD * t * rap  # 1/rho, division-free (nl_level_pre's fac4)
-    sub = dt * dqsdz * (x["mfu"] + x["mfd"]) * fac4
+    # mass fluxes enter only as their sum (value and perturbation): one
+    # ``mf``/``mf_i`` stream pair in the Pallas wrappers
+    mf = x["mf"] if "mf" in x else x["mfu"] + x["mfd"]
+    mf_i = x["mf_i"] if "mf_i" in x else x["mfu_i"] + x["mfd_i"]
+    sub = dt * dqsdz * mf * fac4
     lo3 = sub < qc
     dqc = jnp.where(lo3, sub, qc)
     dqc_i_sub = (
-        dt * (dqsdz_i * (x["mfu"] + x["mfd"]) + dqsdz * (x["mfu_i"] + x["mfd_i"]))
+        dt * (dqsdz_i * mf + dqsdz * mf_i)
         - dqc * rho_i
     ) * fac4
     if c.LREGCL:
