@@ -316,6 +316,7 @@ def level_scan_pallas(
     return_padded: bool = False,
     interleave: int = 1,
     pre_row: Callable | None = None,
+    pack_inputs: Sequence[Sequence[str]] = (),
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -387,6 +388,18 @@ def level_scan_pallas(
     item 2).  The block width becomes ``interleave * wb`` (ncols must be a
     multiple of ``8 * wb * interleave``); incompatible with ``pre_body``.
 
+    ``pack_inputs`` groups level-input names into single PACKED kernel
+    refs: each group's arrays are stacked on a new leading axis (one
+    ``(len(group), klev, 8, w)`` ref, block ``(len(group), kb, 8, wb)``),
+    so the Mosaic pipeline manages one double-buffered ref per group
+    instead of one per field — the measured binding resource (a probe
+    with 16 single-height refs vs 8 double-height refs of the SAME bytes
+    ran 1.9× slower, and every round-4 stream-count removal outperformed
+    its traffic share).  The stack itself is an XLA concat fused into the
+    producers (loop-invariant packs hoist out of chains entirely).
+    Grouped inputs must share height and dtype; names not listed stay
+    unpacked.  Incompatible with ``pre_body``/``pre_row``/``interleave>1``.
+
     ``pre_row(x, col, g) -> dict`` turns the loop into an explicit
     one-level software pipeline: iteration *i* computes ``pre_row`` for
     level *i+1* AND ``body`` for level *i*, with level *i*'s pre-values
@@ -419,6 +432,32 @@ def level_scan_pallas(
     if pre_row is not None and (pre_body is not None or interleave > 1):
         raise ValueError("pre_row is incompatible with pre_body/interleave")
     names = tuple(level_inputs)
+    # --- stream packing metadata (see docstring) ---
+    if pack_inputs:
+        if pre_body is not None or pre_row is not None or interleave > 1:
+            raise ValueError(
+                "pack_inputs is incompatible with pre_body/pre_row/interleave"
+            )
+        groups = [tuple(g) for g in pack_inputs]
+        flat = [n for g in groups for n in g]
+        if len(set(flat)) != len(flat):
+            raise ValueError("pack_inputs groups overlap")
+        unknown = set(flat) - set(names)
+        if unknown:
+            raise ValueError(
+                f"pack_inputs names not in level_inputs: {sorted(unknown)}"
+            )
+        for g in groups:
+            hs = {level_inputs[n].shape[0] for n in g}
+            if len(hs) != 1:
+                raise ValueError(f"pack group {g} mixes heights {hs}")
+        packed_set = frozenset(flat)
+        streams = [("single", n) for n in names if n not in packed_set] + [
+            ("group", i) for i in range(len(groups))
+        ]
+    else:
+        groups = []
+        streams = [("single", n) for n in names]
     col_names = tuple(col_inputs)
     scal_names = tuple(scalar_inputs)
     out_names = tuple(out_names)
@@ -458,12 +497,24 @@ def level_scan_pallas(
     klev = nlev if ragged else kp
 
     def kernel(*refs):
-        n_s, n_l, n_c, n_o = len(scal_names), len(names), len(col_names), len(out_names)
+        n_s, n_l, n_c, n_o = (
+            len(scal_names), len(streams), len(col_names), len(out_names),
+        )
         scal_refs = refs[:n_s]
         level_refs = refs[n_s : n_s + n_l]
         col_refs = refs[n_s + n_l : n_s + n_l + n_c]
         out_refs = refs[n_s + n_l + n_c : n_s + n_l + n_c + n_o]
         carry_ref = refs[-1]
+
+        def read_level_row(row):
+            x = {}
+            for (kind, key), r in zip(streams, level_refs):
+                if kind == "single":
+                    x[key] = r[row]
+                else:
+                    for si, nm in enumerate(groups[key]):
+                        x[nm] = r[si, row]
+            return x
 
         kb_id = pl.program_id(1)
 
@@ -510,7 +561,7 @@ def level_scan_pallas(
         def step_at(row, carry, ci=0):
             g = ar_kb * kb + row
             if interleave == 1:
-                x = {n: r[row] for n, r in zip(names, level_refs)}
+                x = read_level_row(row)
             else:
                 x = {
                     n: r[row, :, ci * wb:(ci + 1) * wb]
@@ -636,16 +687,41 @@ def level_scan_pallas(
         level_spec = pl.BlockSpec(
             (kb, 8, wbt), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
         )
+
+    def _stream_spec(kind, key):
+        if kind == "single":
+            return level_spec
+        glen = len(groups[key])
+        if reverse:
+            return pl.BlockSpec(
+                (glen, kb, 8, wbt), lambda j, k: (0, nkb - 1 - k, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (glen, kb, 8, wbt), lambda j, k: (0, k, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+
     col_spec = pl.BlockSpec((8, wbt), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     if ragged:
+        def stream_arr(kind, key):
+            if kind == "single":
+                # per-input heights: a taller (padded producer) stream
+                # passes through unsliced; blocks past the logical rows are
+                # fetched but never consumed (trip count clamps)
+                v = level_inputs[key]
+                return v.reshape(v.shape[0], 8, w)
+            g = groups[key]
+            h = level_inputs[g[0]].shape[0]
+            return jnp.stack([level_inputs[n] for n in g]).reshape(
+                len(g), h, 8, w
+            )
+
         ins = (
             [scalar_inputs[n].astype(dtype).reshape(nlev, 1) for n in scal_names]
-            # per-input heights: a taller (padded producer) stream passes
-            # through unsliced; blocks past the logical rows are fetched
-            # but never consumed (trip count clamps to the valid rows)
-            + [level_inputs[n].reshape(level_inputs[n].shape[0], 8, w) for n in names]
+            + [stream_arr(*s) for s in streams]
             + [col_inputs[n].reshape(8, w) for n in col_names]
         )
     else:
@@ -653,16 +729,27 @@ def level_scan_pallas(
         unknown = zset - set(names)
         if unknown:
             raise ValueError(f"zero_pad_names not in level_inputs: {sorted(unknown)}")
+
+        def stream_arr(kind, key):
+            if kind == "single":
+                return _pad_levels(
+                    level_inputs[key], kp, zero=key in zset
+                ).reshape(kp, 8, w)
+            g = groups[key]
+            return jnp.stack(
+                [_pad_levels(level_inputs[n], kp, zero=n in zset) for n in g]
+            ).reshape(len(g), kp, 8, w)
+
         ins = (
             [_pad_levels(scalar_inputs[n].astype(dtype), kp).reshape(kp, 1) for n in scal_names]
-            + [_pad_levels(level_inputs[n], kp, zero=n in zset).reshape(kp, 8, w) for n in names]
+            + [stream_arr(*s) for s in streams]
             + [col_inputs[n].reshape(8, w) for n in col_names]
         )
     outs = pl.pallas_call(
         kernel,
         grid=(nj, nkb),
         in_specs=[smem_spec] * len(scal_names)
-        + [level_spec] * len(names)
+        + [_stream_spec(*s) for s in streams]
         + [col_spec] * len(col_names),
         out_specs=[level_spec] * len(out_names),
         out_shape=[jax.ShapeDtypeStruct((klev, 8, w), dtype) for _ in out_names],

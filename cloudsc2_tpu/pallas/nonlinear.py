@@ -60,7 +60,7 @@ LEVEL_OUTPUTS = (
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
         "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
-        "interleave", "pipeline", "elide_covptot",
+        "interleave", "pipeline", "elide_covptot", "pack",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -80,6 +80,7 @@ def cloudsc2_nl_pallas(
     interleave: int = 1,
     pipeline: bool = False,
     elide_covptot: bool | None = None,
+    pack: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -330,6 +331,19 @@ def cloudsc2_nl_pallas(
         raise ValueError("padded_traj is not supported with split/xla_pre")
     if pipeline and (split or fuse_saturation):
         raise ValueError("pipeline is incompatible with split/fuse_saturation")
+    if pack and (split or xla_pre or fuse_saturation or pipeline or interleave != 1):
+        raise ValueError(
+            "pack is incompatible with split/xla_pre/fuse_saturation/"
+            "pipeline/interleave"
+        )
+    # packed stream groups (levelscan pack_inputs): step-invariant raw
+    # fields vs per-step-recomputed combines, so the invariant pack's XLA
+    # stack hoists out of chains/hot loops
+    pack_groups = (
+        (("ap", "dp", "lu_next", "lude", "mf"),
+         ("q2", "ql_fg", "qi_fg", "qsat", "t_fg"))
+        if pack else ()
+    )
     named = level_scan_pallas(
         pipe_body if pipeline else (post_body if split else body),
         level_inputs=level_inputs,
@@ -352,6 +366,7 @@ def cloudsc2_nl_pallas(
         pre_body=pre_block if split else None,
         interleave=interleave,
         pre_row=pre_row_fn if pipeline else None,
+        pack_inputs=pack_groups,
         interpret=interpret,
         # padded_traj: hand the trajectory streams to the (ragged) reverse
         # kernel at the padded height — no [:nlev] slice materialization

@@ -576,3 +576,21 @@ def test_pallas_nl_pipelined_matches_plain(f32_state_small, unroll):
                 np.asarray(g_d[n]), np.asarray(r_d[n]), rtol=2e-5, atol=1e-6,
                 err_msg=n,
             )
+
+
+def test_pallas_nl_packed_streams_bit_exact(f32_state_small):
+    """pack=True stacks the level inputs into two packed kernel refs
+    (levelscan pack_inputs); per-column computation is identical, so the
+    outputs must be bitwise equal to the unpacked kernel (rolled and
+    unrolled layouts)."""
+    s, dt, c = f32_state_small
+    for unroll in (1, 2):
+        ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
+        got = cloudsc2_nl_pallas(
+            s, dt, c, interpret=True, wb=128, unroll=unroll, pack=True
+        )
+        for r_d, g_d in zip(ref, got):
+            for n in r_d:
+                np.testing.assert_array_equal(
+                    np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
+                )
