@@ -594,3 +594,19 @@ def test_pallas_nl_packed_streams_bit_exact(f32_state_small):
                 np.testing.assert_array_equal(
                     np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
                 )
+
+
+def test_pallas_nl_option_conflicts(f32_state_small):
+    """Guard paths of the round-4 kernel options: covptot cannot be elided
+    when the evaporation branch is live, and pack/pipeline refuse
+    incompatible mode combinations."""
+    s, dt, c = f32_state_small
+    with pytest.raises(ValueError, match="covptot is live"):
+        cloudsc2_nl_pallas(
+            s, dt, c.replace(LEVAPLS2=True), interpret=True, wb=128,
+            elide_covptot=True,
+        )
+    with pytest.raises(ValueError, match="pack is incompatible"):
+        cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, pack=True, split=True)
+    with pytest.raises(ValueError, match="pipeline is incompatible"):
+        cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, pipeline=True, split=True)
