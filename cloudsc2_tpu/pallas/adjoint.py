@@ -77,6 +77,12 @@ Array = jnp.ndarray
 KB = 10
 WB = 512
 UNROLL = 1
+#: tiled-native forward-sweep level-block height (round 5,
+#: sweep_tl_ad_tiled.py: fwd_kb=20 beats the NL-standalone default by
+#: +1.3-3.4% across 2 processes — the trajectory-writing forward kernel
+#: is more stream-bound than standalone NL, so its optimum sits lower
+#: than the NL kernel's tiled kb=28)
+TILED_FWD_KB = 20
 
 #: fused single-kernel defaults (see cloudsc2_ad_pallas_fused)
 FUSED_KB = 8
@@ -111,6 +117,7 @@ SEED_NAMES = (
     jax.jit,
     static_argnames=(
         "dt", "c", "interpret", "kb", "wb", "unroll", "fwd_kb", "fwd_unroll",
+        "tile_layout", "state_tiled",
     ),
 )
 def cloudsc2_ad_pallas(
@@ -123,9 +130,16 @@ def cloudsc2_ad_pallas(
     unroll: int | None = None,
     fwd_kb: int | None = None,
     fwd_unroll: int | None = None,
+    tile_layout: bool = False,
+    state_tiled: bool = False,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
-    cloudsc2_ad` backed by the forward + reverse Pallas kernels."""
+    cloudsc2_ad` backed by the forward + reverse Pallas kernels.
+
+    ``tile_layout``/``state_tiled``: tile-contiguous streams / tiled-native
+    state end-to-end — the 3 trajectory streams flow between the two
+    kernels in tiled form with no relayout (see
+    :func:`cloudsc2_tpu.pallas.nonlinear.cloudsc2_nl_pallas`)."""
     if not c.LPHYLIN:
         raise ValueError(
             "cloudsc2_ad_pallas requires LPHYLIN=True (the kernel's forward "
@@ -139,9 +153,24 @@ def cloudsc2_ad_pallas(
     # emits its per-level cotangent as an extra stream
     evap = bool(c.LEVAPLS2 or c.LDRAIN1D)
     kb = KB if kb is None else kb
-    wb = WB if wb is None else wb
     unroll = UNROLL if unroll is None else unroll
-    nlev, ncols = state["ap"].shape
+    if state_tiled:
+        if not tile_layout:
+            raise ValueError("state_tiled requires tile_layout=True")
+        if unroll != 1 or (fwd_unroll or 1) != 1:
+            raise ValueError(
+                "state_tiled requires rolled kernels (unroll=1): the "
+                "padded layouts would re-pad the tiled streams per call"
+            )
+        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
+        wb_t = state["ap"].shape[3]
+        if wb is not None and wb != wb_t:
+            raise ValueError(f"wb={wb} conflicts with tiled state wb={wb_t}")
+        wb = wb_t
+        ncols = nj_t * 8 * wb_t
+    else:
+        wb = WB if wb is None else wb
+        nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
 
     # ---- phase 1: forward trajectory (NL kernel) ----
@@ -161,16 +190,24 @@ def cloudsc2_ad_pallas(
     # combination that avoids the relayout is padded-forward → RAGGED
     # reverse: the ragged harness accepts the trajectory at the forward
     # kernel's padded height directly (levelscan ``padded_traj`` path).
-    fwd_wb = 512 if (wb < 512 and ncols % (8 * 512) == 0) else wb
+    fwd_wb = (
+        wb if state_tiled
+        else (512 if (wb < 512 and ncols % (8 * 512) == 0) else wb)
+    )
     fwd_u = unroll if fwd_unroll is None else fwd_unroll
-    padded_traj = fwd_u > 1 and unroll == 1
+    padded_traj = fwd_u > 1 and unroll == 1 and not state_tiled
+    if state_tiled and fwd_kb is None:
+        fwd_kb = TILED_FWD_KB
     tends_f, diags_f, traj = cloudsc2_nl_pallas(
         state, dt, c, interpret=interpret, with_trajectory=True, kb=fwd_kb,
         wb=fwd_wb, unroll=fwd_u, padded_traj=padded_traj,
+        tile_layout=tile_layout, state_tiled=state_tiled,
     )
 
     # ---- reverse-kernel inputs ----
-    fwd, seeds, col_inputs, scalar_inputs = _reverse_problem(state, dt, c)
+    fwd, seeds, col_inputs, scalar_inputs = _reverse_problem(
+        state, dt, c, state_tiled=state_tiled
+    )
 
     # no level padding: the harness's ragged edge block never touches rows
     # beyond nlev, so seeds/trajectory pass through unpadded
@@ -200,25 +237,55 @@ def cloudsc2_ad_pallas(
         # levels with zero-padded seeds contribute exactly zero to the
         # carry cotangents (see level_scan_pallas docstring)
         zero_pad_names=tuple("s_" + n for n in SEED_NAMES if "s_" + n in level_inputs),
+        tile_layout=tile_layout,
+        pre_tiled=state_tiled,
+        keep_tiled=state_tiled,
         interpret=interpret,
     )
-    return _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap)
+    return _assemble(
+        named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap,
+        state_tiled=state_tiled,
+    )
 
 
-def _reverse_problem(state, dt: float, c: Constants):
+def _reverse_problem(state, dt: float, c: Constants, state_tiled: bool = False):
     """Level/seed/column/scalar input dicts shared by the two-kernel and
-    fused adjoint paths."""
+    fused adjoint paths.  ``state_tiled``: fields are (nj, L, 8, wb); all
+    level-axis slicing moves to axis 1 and the per-column inputs are
+    flattened back to global column order (lane order is identical)."""
     dtype = state["ap"].dtype
     eta = state["eta"].astype(dtype)
     scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
-    trpaus = tropopause_eta(eta, t_fg)
     lu = state["lu"]
+    if state_tiled:
+        nlev = state["ap"].shape[1]
+        aph = state["aph"]
+        dp = aph[:, 1:] - aph[:, :-1]
+        aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
+        lu_next = jnp.concatenate(
+            [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
+        )
+        window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
+        mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
+        ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
+        best = jnp.max(jnp.where(mask, ks, -1), axis=1)
+        trp_t = jnp.where(
+            best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, dtype)
+        )
+        trpaus = trp_t.transpose(1, 0, 2).reshape(-1)
+        iface = lambda v: v[:, 1:]  # noqa: E731 — interface rows 1..nlev
+    else:
+        dp = state["aph"][1:] - state["aph"][:-1]
+        aph_s = state["aph"][-1]
+        lu_next = jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0)
+        trpaus = tropopause_eta(eta, t_fg)
+        iface = lambda v: v[1:]  # noqa: E731
 
     fwd = {
         "ap": state["ap"],
-        "dp": state["aph"][1:] - state["aph"][:-1],
-        "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
+        "dp": dp,
+        "lu_next": lu_next,
         "lude": state["lude"],
         # mass fluxes enter only as their sum (and by linearity
         # cot_mfu = cot_mfd = cot_mf): one stream each way
@@ -238,8 +305,8 @@ def _reverse_problem(state, dt: float, c: Constants):
         "s_tnd_qi_i": state["tnd_qi_i"],
         "s_clc_i": state["clc_i"],
         "s_covptot_i": state["covptot_i"],
-        "s_fplsl_i": state["fplsl_i"][1:] - c.RLVTT * state["fhpsl_i"][1:],
-        "s_fplsn_i": state["fplsn_i"][1:] - c.RLSTT * state["fhpsn_i"][1:],
+        "s_fplsl_i": iface(state["fplsl_i"]) - c.RLVTT * iface(state["fhpsl_i"]),
+        "s_fplsn_i": iface(state["fplsn_i"]) - c.RLSTT * iface(state["fhpsn_i"]),
     }
     if not (c.LEVAPLS2 or c.LDRAIN1D):
         # the covptot output is identically zero with the evaporation
@@ -249,7 +316,7 @@ def _reverse_problem(state, dt: float, c: Constants):
     col_inputs = dict(
         zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
         trpaus=trpaus,
-        aph_s=state["aph"][-1],
+        aph_s=aph_s,
     )
     return fwd, seeds, col_inputs, {"eta": eta, "scalm": scalm}
 
@@ -296,33 +363,48 @@ def _make_rev_body(dt: float, c: Constants, evap: bool):
     return body
 
 
-def _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap):
+def _assemble(
+    named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap,
+    state_tiled: bool = False,
+):
     """Assemble the component outputs (adjoint/microphysics.py:150-218).
 
     The folded cotangent bases expand by linearity of the first-guess
     combines: q2 = q + dt*tnd_cml_q + supsat gives cot_q = cot_supsat =
     cot_q2 and cot_tnd_cml_q = dt*cot_q2 (supsat keeps coefficient 1 —
     the documented exact-transpose deviation, see PARITY.md), and
-    likewise for ql/qi/t.
+    likewise for ql/qi/t.  ``state_tiled``: everything on axis 1.
     """
-    cot = {n: named["cot_" + n][:nlev] for n in XI_NAMES}
+    if state_tiled:
+        ax = 1
+        lev_slice = lambda v, sl: v[:, sl]  # noqa: E731
+        sample = named["cot_ap_i"]
+        zrow = jnp.zeros((sample.shape[0], 1, 8, sample.shape[3]), dtype)
+    else:
+        ax = 0
+        lev_slice = lambda v, sl: v[sl]  # noqa: E731
+        zrow = jnp.zeros((1, ncols), dtype)
+    cot = {n: lev_slice(named["cot_" + n], slice(None, nlev)) for n in XI_NAMES}
     tends = dict(tends_f)
     tends["cml_t_i"] = dt * cot["t_fg_i"]
     tends["cml_q_i"] = dt * cot["q2_i"]
     tends["cml_ql_i"] = dt * cot["ql_fg_i"]
     tends["cml_qi_i"] = dt * cot["qi_fg_i"]
 
-    zrow = jnp.zeros((1, ncols), dtype)
     # dp = aph1 - aph0  =>  aph_i[k] = dp_i[k-1] - dp_i[k] (zero outside)
-    aph_i = jnp.concatenate([zrow, cot["dp_i"]], axis=0) - jnp.concatenate(
-        [cot["dp_i"], zrow], axis=0
+    aph_i = jnp.concatenate([zrow, cot["dp_i"]], axis=ax) - jnp.concatenate(
+        [cot["dp_i"], zrow], axis=ax
     )
     if evap:
         # surface-pressure cotangent: every level's evaporation branch reads
         # aph_s = aph[nlev] (reference ``adjoint/_stencils/cloudsc2.py:
         # 969-986`` applies the same staggered correction)
-        aph_i = aph_i.at[-1].add(
-            jnp.sum(named["cot_aph_s_i"][:nlev], axis=0)
+        surf = jnp.sum(
+            lev_slice(named["cot_aph_s_i"], slice(None, nlev)), axis=ax
+        )
+        aph_i = (
+            aph_i.at[:, -1].add(surf) if state_tiled
+            else aph_i.at[-1].add(surf)
         )
     diags = dict(diags_f)
     diags.update(
@@ -333,7 +415,9 @@ def _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap):
         qsat_i=cot["qsat_i"],
         ql_i=cot["ql_fg_i"],
         qi_i=cot["qi_fg_i"],
-        lu_i=jnp.concatenate([zrow, cot["lu_next_i"][:-1]], axis=0),
+        lu_i=jnp.concatenate(
+            [zrow, lev_slice(cot["lu_next_i"], slice(None, -1))], axis=ax
+        ),
         lude_i=cot["lude_i"],
         mfd_i=cot["mf_i"],
         mfu_i=cot["mf_i"],

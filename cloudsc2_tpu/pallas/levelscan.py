@@ -40,6 +40,26 @@ def _pad_levels(x: Array, kp: int, zero: bool = False) -> Array:
     return jnp.pad(x, pad) if zero else jnp.pad(x, pad, mode="edge")
 
 
+def tile_field(v: Array, wb: int) -> Array:
+    """``(L, ncols)`` -> tiled storage ``(nj, L, 8, wb)`` (one contiguous
+    HBM extent per column tile; see ``level_scan_pallas`` ``tile_layout``).
+    1-D ``(ncols,)`` fields tile to ``(nj, 8, wb)``."""
+    if v.ndim == 1:
+        ncols = v.shape[0]
+        return v.reshape(8, ncols // 8 // wb, wb).transpose(1, 0, 2)
+    h, ncols = v.shape
+    return v.reshape(h, 8, ncols // 8 // wb, wb).transpose(2, 0, 1, 3)
+
+
+def untile_field(v: Array) -> Array:
+    """Inverse of :func:`tile_field`."""
+    if v.ndim == 3:
+        nj, _, wb = v.shape
+        return v.transpose(1, 0, 2).reshape(8 * nj * wb)
+    nj, h, _, wb = v.shape
+    return v.transpose(1, 2, 0, 3).reshape(h, 8 * nj * wb)
+
+
 def level_scan_fwdrev_pallas(
     fwd_body: Callable,
     rev_body: Callable,
@@ -317,6 +337,9 @@ def level_scan_pallas(
     interleave: int = 1,
     pre_row: Callable | None = None,
     pack_inputs: Sequence[Sequence[str]] = (),
+    tile_layout: bool = False,
+    pre_tiled: bool = False,
+    keep_tiled: bool = False,
 ) -> Dict[str, Array]:
     """Run ``body`` as a Pallas level scan.
 
@@ -400,6 +423,34 @@ def level_scan_pallas(
     Grouped inputs must share height and dtype; names not listed stay
     unpacked.  Incompatible with ``pre_body``/``pre_row``/``interleave>1``.
 
+    ``tile_layout=True`` stores every level stream (inputs and outputs)
+    **tile-contiguously**: ``(klev, 8, w)`` is relaid out to
+    ``(nj, klev, 8, wb)`` so one grid instance's whole stream —
+    ``klev * 8 * wb`` elements — is a single contiguous HBM extent, and
+    each level-block fetch is one contiguous ``kb*8*wb``-element burst
+    (256 KB at kb=16/wb=512/f32) instead of ``kb*8`` separate ``wb``
+    segments strided ``w`` apart (2 KB bursts, 32 KB stride at the 65k
+    benchmark shape).  This isolates the layout variable in the measured
+    large-batch throughput falloff (VERDICT r4 next #1: 28.2M cols/s at 4k
+    resident columns — where w == wb makes the global layout incidentally
+    contiguous — vs 19.5M at 65k).  The relayout transposes are XLA ops at
+    the boundary: loop-invariant input streams hoist out of a jitted step
+    chain entirely; per-step-recomputed streams fuse the transpose into
+    their producers; output de-relayouts are paid only for outputs actually
+    consumed.  The analogue of the reference's storage-layout backend axis
+    (``gt:cpu_ifirst`` vs ``gt:cpu_kfirst``, ``run_nonlinear.py:156-158``).
+    Incompatible with ``pre_body``/``pre_row``/``interleave>1``/
+    ``pack_inputs``.
+
+    ``pre_tiled=True`` (requires ``tile_layout``) declares the level
+    inputs ALREADY in tiled form ``(nj, h, 8, wb)`` — no entry relayout;
+    ``keep_tiled=True`` returns outputs in raw tiled form.  Together they
+    make tiled the pipeline's persistent storage format: a jitted step
+    chain whose state lives tiled pays zero transposes (everything outside
+    the kernel is elementwise, and XLA does not hoist per-step relayouts
+    out of a ``fori_loop`` — measured −14% for boundary-relayout-per-step
+    vs +16% raw-fetch gain, benchmarks/sweep_nl_layout.py).
+
     ``pre_row(x, col, g) -> dict`` turns the loop into an explicit
     one-level software pipeline: iteration *i* computes ``pre_row`` for
     level *i+1* AND ``body`` for level *i*, with level *i*'s pre-values
@@ -431,6 +482,18 @@ def level_scan_pallas(
         raise ValueError("interleave is incompatible with pre_body")
     if pre_row is not None and (pre_body is not None or interleave > 1):
         raise ValueError("pre_row is incompatible with pre_body/interleave")
+    if tile_layout and (
+        pre_body is not None
+        or pre_row is not None
+        or interleave > 1
+        or pack_inputs
+    ):
+        raise ValueError(
+            "tile_layout is incompatible with pre_body/pre_row/interleave/"
+            "pack_inputs"
+        )
+    if (pre_tiled or keep_tiled) and not tile_layout:
+        raise ValueError("pre_tiled/keep_tiled require tile_layout=True")
     names = tuple(level_inputs)
     # --- stream packing metadata (see docstring) ---
     if pack_inputs:
@@ -468,12 +531,17 @@ def level_scan_pallas(
     out_names = tuple(out_names)
 
     sample = next(iter(level_inputs.values()))
+    lev_ax = 1 if pre_tiled else 0  # pre_tiled inputs are (nj, h, 8, wb)
     # logical level count = the MINIMUM height: taller inputs are padded
     # producer streams, allowed only in the rolled (ragged) layout
-    nlev = min(v.shape[0] for v in level_inputs.values())
-    ncols = sample.shape[1]
+    nlev = min(v.shape[lev_ax] for v in level_inputs.values())
+    ncols = (
+        sample.shape[0] * 8 * sample.shape[3] if pre_tiled else sample.shape[1]
+    )
     dtype = sample.dtype
-    if unroll > 1 and any(v.shape[0] != nlev for v in level_inputs.values()):
+    if unroll > 1 and any(
+        v.shape[lev_ax] != nlev for v in level_inputs.values()
+    ):
         raise ValueError(
             "mixed level-input heights require the rolled (unroll=1) layout"
         )
@@ -515,7 +583,7 @@ def level_scan_pallas(
             x = {}
             for (kind, key), r in zip(streams, level_refs):
                 if kind == "single":
-                    x[key] = r[row]
+                    x[key] = r[0, row] if tile_layout else r[row]
                 else:
                     for si, nm in enumerate(groups[key]):
                         x[nm] = r[si, row]
@@ -579,7 +647,10 @@ def level_scan_pallas(
             carry, outs = body(carry, x, cols_by_chain[ci], g)
             for n, r in zip(out_names, out_refs):
                 if interleave == 1:
-                    r[row] = outs[n]
+                    if tile_layout:
+                        r[0, row] = outs[n]
+                    else:
+                        r[row] = outs[n]
                 else:
                     r[row, :, ci * wb:(ci + 1) * wb] = outs[n]
             return carry
@@ -684,7 +755,21 @@ def level_scan_pallas(
             for j in range(ncarry):
                 carry_ref[ci * ncarry + j] = chains[ci][j]
 
-    if reverse:
+    if tile_layout:
+        # tile-contiguous: array (nj, klev, 8, wb); one grid instance's
+        # whole stream is a single contiguous HBM extent, each block fetch
+        # one contiguous burst
+        if reverse:
+            level_spec = pl.BlockSpec(
+                (1, kb, 8, wb), lambda j, k: (j, nkb - 1 - k, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            level_spec = pl.BlockSpec(
+                (1, kb, 8, wb), lambda j, k: (j, k, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+    elif reverse:
         level_spec = pl.BlockSpec(
             (kb, 8, wbt), lambda j, k: (nkb - 1 - k, 0, j), memory_space=pltpu.VMEM
         )
@@ -710,6 +795,20 @@ def level_scan_pallas(
     col_spec = pl.BlockSpec((8, wbt), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    def _tile(v3):
+        """(h, 8, w) -> (nj, h, 8, wb) tile-contiguous relayout (XLA
+        transpose; loop-invariant streams hoist out of jitted chains)."""
+        h = v3.shape[0]
+        return v3.reshape(h, 8, nj, wb).transpose(2, 0, 1, 3)
+
+    def _check_tiled(v, key):
+        if v.ndim != 4 or v.shape[0] != nj or v.shape[2:] != (8, wb):
+            raise ValueError(
+                f"pre_tiled input {key!r} has shape {v.shape}; expected "
+                f"({nj}, h, 8, {wb})"
+            )
+        return v
+
     if ragged:
         def stream_arr(kind, key):
             if kind == "single":
@@ -717,7 +816,10 @@ def level_scan_pallas(
                 # passes through unsliced; blocks past the logical rows are
                 # fetched but never consumed (trip count clamps)
                 v = level_inputs[key]
-                return v.reshape(v.shape[0], 8, w)
+                if pre_tiled:
+                    return _check_tiled(v, key)
+                v3 = v.reshape(v.shape[0], 8, w)
+                return _tile(v3) if tile_layout else v3
             g = groups[key]
             h = level_inputs[g[0]].shape[0]
             return jnp.stack([level_inputs[n] for n in g]).reshape(
@@ -737,9 +839,21 @@ def level_scan_pallas(
 
         def stream_arr(kind, key):
             if kind == "single":
-                return _pad_levels(
+                if pre_tiled:
+                    v = _check_tiled(level_inputs[key], key)
+                    pad = kp - v.shape[1]
+                    if pad:
+                        spec = ((0, 0), (0, pad), (0, 0), (0, 0))
+                        v = (
+                            jnp.pad(v, spec)
+                            if key in zset
+                            else jnp.pad(v, spec, mode="edge")
+                        )
+                    return v
+                v3 = _pad_levels(
                     level_inputs[key], kp, zero=key in zset
                 ).reshape(kp, 8, w)
+                return _tile(v3) if tile_layout else v3
             g = groups[key]
             return jnp.stack(
                 [_pad_levels(level_inputs[n], kp, zero=n in zset) for n in g]
@@ -757,7 +871,12 @@ def level_scan_pallas(
         + [_stream_spec(*s) for s in streams]
         + [col_spec] * len(col_names),
         out_specs=[level_spec] * len(out_names),
-        out_shape=[jax.ShapeDtypeStruct((klev, 8, w), dtype) for _ in out_names],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (nj, klev, 8, wb) if tile_layout else (klev, 8, w), dtype
+            )
+            for _ in out_names
+        ],
         scratch_shapes=[pltpu.VMEM((ncarry * interleave, 8, wb), dtype)],
         # column tiles are independent (carry re-zeroed at each tile's first
         # level block); only the level axis must run sequentially
@@ -767,6 +886,17 @@ def level_scan_pallas(
         interpret=interpret,
     )(*ins)
 
+    if tile_layout:
+        if keep_tiled:
+            if return_padded:
+                return dict(zip(out_names, outs))
+            return {n: o[:, :nlev] for n, o in zip(out_names, outs)}
+        # inverse relayout (nj, klev, 8, wb) -> (klev, ncols); outputs not
+        # consumed downstream are DCE'd, so only live streams pay it
+        outs = [o.transpose(1, 2, 0, 3).reshape(klev, ncols) for o in outs]
+        if return_padded:
+            return dict(zip(out_names, outs))
+        return {n: o[:nlev] for n, o in zip(out_names, outs)}
     if return_padded:
         return {n: o.reshape(klev, ncols) for n, o in zip(out_names, outs)}
     return {n: o.reshape(klev, ncols)[:nlev] for n, o in zip(out_names, outs)}

@@ -48,6 +48,13 @@ WB = 512
 #: software-pipeline; unroll=8 adds nothing further.  (Round 1 measured
 #: unroll as neutral; the divide strength reduction changed the balance.)
 UNROLL = 2
+#: tiled-native storage defaults (round 5, sweep_nl_tiled.py, 3 processes):
+#: ROLLED kb=28 wins — 29.07-29.13M cols/s at 65k columns vs 28.2-28.3M at
+#: kb=16 and 21.3M at the global-layout default's unroll=2 (whose padded
+#: layout re-pads every tiled stream per call).  Rolled kb=14-28 all
+#: compile under the tiled layout (global crashed Mosaic at rolled kb>=14);
+#: kb=36/48 still crash.  wb fixed by the tiled state (512 measured best).
+TILED_KB = 28
 
 LEVEL_OUTPUTS = (
     "tnd_t", "tnd_q", "tnd_ql", "tnd_qi", "clc", "covptot",
@@ -60,7 +67,8 @@ LEVEL_OUTPUTS = (
     static_argnames=(
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
         "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
-        "interleave", "pipeline", "elide_covptot", "pack",
+        "interleave", "pipeline", "elide_covptot", "pack", "tile_layout",
+        "state_tiled",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -81,6 +89,8 @@ def cloudsc2_nl_pallas(
     pipeline: bool = False,
     elide_covptot: bool | None = None,
     pack: bool = False,
+    tile_layout: bool = False,
+    state_tiled: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -96,6 +106,13 @@ def cloudsc2_nl_pallas(
     (``run_nonlinear.py:115-119``); ``qsat`` is then returned as an extra
     diagnostic.  ``state["qsat"]``/precomputed ``t_fg`` are not read.
 
+    ``tile_layout=True`` relays every level stream out tile-contiguously
+    (levelscan ``tile_layout``): each grid instance's stream becomes one
+    contiguous HBM extent, isolating the strided-fetch variable in the
+    measured large-batch falloff (28.2M cols/s at 4k resident columns vs
+    19.5M at 65k; the 4k shape is incidentally contiguous because w == wb).
+    Per-column computation is identical — outputs are bitwise equal.
+
     ``xla_pre=True`` evaluates the whole carry-independent phase A
     (:func:`nl_level_pre`) as one fused XLA pass over the full
     ``(nlev, ncols)`` arrays — level-parallel, full VPU utilization — and
@@ -109,21 +126,70 @@ def cloudsc2_nl_pallas(
     """
     if xla_pre and (fuse_saturation or split):
         raise ValueError("xla_pre is incompatible with fuse_saturation/split")
-    nlev, ncols = state["ap"].shape
+    if state_tiled:
+        # tiled-native storage: 2-D fields arrive as (nj, L, 8, wb) — see
+        # levelscan pre_tiled/keep_tiled.  Everything here is elementwise
+        # or level-axis-local, so no relayout exists anywhere in the call.
+        if not tile_layout:
+            raise ValueError("state_tiled requires tile_layout=True")
+        if padded_traj:
+            raise ValueError(
+                "state_tiled trajectories flow tiled (keep_tiled); "
+                "padded_traj does not apply"
+            )
+        if xla_pre or split or pipeline or pack or interleave != 1:
+            # checked here because the xla_pre path runs before the
+            # tile_layout compatibility guards below
+            raise ValueError(
+                "state_tiled is incompatible with "
+                "xla_pre/split/pipeline/pack/interleave"
+            )
+        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
+        wb_t = state["ap"].shape[3]
+        if wb is not None and wb != wb_t:
+            raise ValueError(
+                f"wb={wb} conflicts with tiled state wb={wb_t}"
+            )
+        wb = wb_t
+        ncols = nj_t * 8 * wb_t
+        lev_ax = 1
+    else:
+        nlev, ncols = state["ap"].shape
+        lev_ax = 0
     dtype = state["ap"].dtype
 
     eta = state["eta"].astype(dtype)
     scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
-    trpaus = tropopause_eta(eta, t_fg)
     lu = state["lu"]
+    if state_tiled:
+        aph = state["aph"]
+        dp = aph[:, 1:] - aph[:, :-1]
+        aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
+        lu_next = jnp.concatenate(
+            [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
+        )
+        # tropopause search on the tiled level axis
+        window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
+        mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
+        ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
+        best = jnp.max(jnp.where(mask, ks, -1), axis=1)
+        trp_t = jnp.where(
+            best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, dtype)
+        )
+        trpaus = trp_t.transpose(1, 0, 2).reshape(-1)
+    else:
+        dp = state["aph"][1:] - state["aph"][:-1]
+        aph_s = state["aph"][-1]
+        lu_next = jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0)
+        trpaus = tropopause_eta(eta, t_fg)
 
     level_inputs = {
         "ap": state["ap"],
         # the scheme reads the interface pressures only as their difference
         # (nl_level_pre): one dp stream instead of two aph slice copies
-        "dp": state["aph"][1:] - state["aph"][:-1],
-        "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
+        "dp": dp,
+        "lu_next": lu_next,
         "lude": state["lude"],
         # mass fluxes enter the scheme only as their sum (nl_level_pre):
         # one mf stream instead of two
@@ -231,7 +297,9 @@ def cloudsc2_nl_pallas(
         carry, outs, _aux = nl_level_post(NLCarry(*carry), x, dt, c)
         return tuple(carry), _finish(outs, x, carry_in)
 
-    kb_ = KB if kb is None else kb
+    kb_ = (TILED_KB if state_tiled else KB) if kb is None else kb
+    if state_tiled and unroll is None:
+        unroll = 1  # rolled is the natural partner of tiled storage
     if xla_pre:
         # ---- phase A: one fused XLA pass over the full (nlev, ncols) grid
         xfull = dict(level_inputs)
@@ -341,6 +409,11 @@ def cloudsc2_nl_pallas(
             "pack is incompatible with split/xla_pre/fuse_saturation/"
             "pipeline/interleave"
         )
+    if tile_layout and (split or xla_pre or pipeline or pack or interleave != 1):
+        raise ValueError(
+            "tile_layout is incompatible with split/xla_pre/pipeline/pack/"
+            "interleave"
+        )
     # packed stream groups (levelscan pack_inputs): step-invariant raw
     # fields vs per-step-recomputed combines, so the invariant pack's XLA
     # stack hoists out of chains/hot loops
@@ -355,7 +428,7 @@ def cloudsc2_nl_pallas(
         col_inputs=dict(
             zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
             trpaus=trpaus,
-            aph_s=state["aph"][-1],
+            aph_s=aph_s,
         ),
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=out_names,
@@ -372,6 +445,9 @@ def cloudsc2_nl_pallas(
         interleave=interleave,
         pre_row=pre_row_fn if pipeline else None,
         pack_inputs=pack_groups,
+        tile_layout=tile_layout,
+        pre_tiled=state_tiled,
+        keep_tiled=state_tiled,
         interpret=interpret,
         # padded_traj: hand the trajectory streams to the (ragged) reverse
         # kernel at the padded height — no [:nlev] slice materialization
@@ -385,9 +461,14 @@ def cloudsc2_nl_pallas(
             for n, v in named.items()
         }
 
-    zrow = jnp.zeros((1, ncols), dtype)
-    fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=0)
-    fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=0)
+    if state_tiled:
+        zrow = jnp.zeros((nj_t, 1, 8, wb), dtype)
+        cat_ax = 1
+    else:
+        zrow = jnp.zeros((1, ncols), dtype)
+        cat_ax = 0
+    fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=cat_ax)
+    fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=cat_ax)
     tends = {
         "t": named["tnd_t"],
         "q": named["tnd_q"],
@@ -396,7 +477,7 @@ def cloudsc2_nl_pallas(
     }
     diags = {
         "clc": named["clc"],
-        "covptot": named.get("covptot", jnp.zeros((nlev, ncols), dtype)),
+        "covptot": named.get("covptot", jnp.zeros_like(named["clc"])),
         "fplsl": fplsl,
         "fplsn": fplsn,
         "fhpsl": -fplsl * c.RLVTT,

@@ -60,7 +60,10 @@ LEVEL_OUTPUTS = (
 )
 
 
-@partial(jax.jit, static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll", "split"))
+@partial(jax.jit, static_argnames=(
+    "dt", "c", "interpret", "kb", "wb", "unroll", "split", "tile_layout",
+    "state_tiled",
+))
 def cloudsc2_tl_pallas(
     state: Dict[str, Array],
     dt: float,
@@ -70,6 +73,8 @@ def cloudsc2_tl_pallas(
     wb: int | None = None,
     unroll: int | None = None,
     split: bool = False,
+    tile_layout: bool = False,
+    state_tiled: bool = False,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.tangent_linear.
     cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns).
@@ -78,22 +83,70 @@ def cloudsc2_tl_pallas(
     (:func:`tl_level_pre`) block-vectorized over each level block via the
     harness's ``pre_body`` and fully unrolls the remaining carry-dependent
     tail (see the NL kernel's measured rationale in
-    ``benchmarks/README.md``)."""
-    nlev, ncols = state["ap"].shape
+    ``benchmarks/README.md``).
+
+    ``tile_layout``/``state_tiled``: tile-contiguous streams / tiled-native
+    state, as on :func:`cloudsc2_tpu.pallas.nonlinear.cloudsc2_nl_pallas`
+    (the most stream-bound kernel benefits most — see
+    ``benchmarks/sweep_tl_tiled.py``)."""
+    if state_tiled:
+        if not tile_layout:
+            raise ValueError("state_tiled requires tile_layout=True")
+        if split:
+            raise ValueError("state_tiled is incompatible with split")
+        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
+        wb_t = state["ap"].shape[3]
+        if wb is not None and wb != wb_t:
+            raise ValueError(f"wb={wb} conflicts with tiled state wb={wb_t}")
+        wb = wb_t
+        ncols = nj_t * 8 * wb_t
+    else:
+        nlev, ncols = state["ap"].shape
+    if tile_layout and split:
+        raise ValueError("tile_layout is incompatible with split")
     dtype = state["ap"].dtype
 
     eta = state["eta"].astype(dtype)
     scalm = scalm_profile(eta, c)
     t_fg = state["t"] + dt * state["tnd_cml_t"]
-    trpaus = tropopause_eta(eta, t_fg)
     lu, lu_i = state["lu"], state["lu_i"]
+    if state_tiled:
+        aph, aph_i = state["aph"], state["aph_i"]
+        dp = aph[:, 1:] - aph[:, :-1]
+        dp_i = aph_i[:, 1:] - aph_i[:, :-1]
+        aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
+        aph_s_i = aph_i[:, -1].transpose(1, 0, 2).reshape(-1)
+        lu_next = jnp.concatenate(
+            [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
+        )
+        lu_next_i = jnp.concatenate(
+            [lu_i[:, 1:], jnp.zeros_like(lu_i[:, :1])], axis=1
+        )
+        window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
+        mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
+        ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
+        best = jnp.max(jnp.where(mask, ks, -1), axis=1)
+        trp_t = jnp.where(
+            best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, dtype)
+        )
+        trpaus = trp_t.transpose(1, 0, 2).reshape(-1)
+    else:
+        dp = state["aph"][1:] - state["aph"][:-1]
+        dp_i = state["aph_i"][1:] - state["aph_i"][:-1]
+        aph_s = state["aph"][-1]
+        aph_s_i = state["aph_i"][-1]
+        lu_next = jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0)
+        lu_next_i = jnp.concatenate(
+            [lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0
+        )
+        trpaus = tropopause_eta(eta, t_fg)
 
     level_inputs = {
         "ap": state["ap"],
         # interface pressures enter only as differences (tl_level_pre):
         # two dp streams instead of four aph/aph_i slice copies
-        "dp": state["aph"][1:] - state["aph"][:-1],
-        "lu_next": jnp.concatenate([lu[1:], jnp.zeros_like(lu[:1])], axis=0),
+        "dp": dp,
+        "lu_next": lu_next,
         "lude": state["lude"],
         "mf": state["mfu"] + state["mfd"],
         "qsat": state["qsat"],
@@ -109,8 +162,8 @@ def cloudsc2_tl_pallas(
         "ql_fg_i": state["ql_i"] + dt * state["tnd_cml_ql_i"],
         "qi_fg_i": state["qi_i"] + dt * state["tnd_cml_qi_i"],
         "ap_i": state["ap_i"],
-        "dp_i": state["aph_i"][1:] - state["aph_i"][:-1],
-        "lu_next_i": jnp.concatenate([lu_i[1:], jnp.zeros_like(lu_i[:1])], axis=0),
+        "dp_i": dp_i,
+        "lu_next_i": lu_next_i,
         "lude_i": state["lude_i"],
         "mf_i": state["mfu_i"] + state["mfd_i"],
         "qsat_i": state["qsat_i"],
@@ -155,8 +208,8 @@ def cloudsc2_tl_pallas(
         col_inputs=dict(
             zip(("crh_rh2", "crh_deta1", "crh_rsq"), critical_rh_coeffs(trpaus)),
             trpaus=trpaus,
-            aph_s=state["aph"][-1],
-            aph_s_i=state["aph_i"][-1],
+            aph_s=aph_s,
+            aph_s_i=aph_s_i,
         ),
         scalar_inputs={"eta": eta, "scalm": scalm},
         out_names=out_names,
@@ -165,10 +218,18 @@ def cloudsc2_tl_pallas(
         wb=WB if wb is None else wb,
         unroll=kb_ if split else (UNROLL if unroll is None else unroll),
         pre_body=pre_block if split else None,
+        tile_layout=tile_layout,
+        pre_tiled=state_tiled,
+        keep_tiled=state_tiled,
         interpret=interpret,
     )
 
-    zrow = jnp.zeros((1, ncols), dtype)
+    if state_tiled:
+        zrow = jnp.zeros((nj_t, 1, 8, wb), dtype)
+        cat_ax = 1
+    else:
+        zrow = jnp.zeros((1, ncols), dtype)
+        cat_ax = 0
     tends = {}
     for name in ("t", "q", "ql", "qi"):
         tends[name] = named["tnd_" + name]
@@ -180,10 +241,10 @@ def cloudsc2_tl_pallas(
             diags[n] = named[n]
         else:
             if zfull is None:
-                zfull = jnp.zeros((nlev, ncols), dtype)
+                zfull = jnp.zeros_like(named["clc"])
             diags[n] = zfull
     for n in ("fplsl", "fplsl_i", "fplsn", "fplsn_i"):
-        diags[n] = jnp.concatenate([zrow, named[n]], axis=0)
+        diags[n] = jnp.concatenate([zrow, named[n]], axis=cat_ax)
     diags["fhpsl"] = -diags["fplsl"] * c.RLVTT
     diags["fhpsl_i"] = -diags["fplsl_i"] * c.RLVTT
     diags["fhpsn"] = -diags["fplsn"] * c.RLSTT

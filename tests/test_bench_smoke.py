@@ -57,6 +57,20 @@ def test_chain_ad_traces(states):
     assert out.shape == s_tl["t"].shape
 
 
+def test_chain_nl_traces_tiled(states):
+    """The bench's timed chains run on tiled-native storage (round 5);
+    the tiled NL chain must trace end-to-end on CPU."""
+    from cloudsc2_tpu.pallas.levelscan import tile_field
+
+    state, _, dt, c = states
+    st = {
+        k: (tile_field(v, 512) if getattr(v, "ndim", 0) == 2 else v)
+        for k, v in state.items()
+    }
+    out = jax.eval_shape(lambda s: bench.chain_nl(s, 8, dt, c), st)
+    assert out.shape == st["t"].shape and out.dtype == st["t"].dtype
+
+
 def test_roofline_denominator():
     # 14 full + 1 interface inputs, 6 full + 4 interface outputs, f32
     bpc = bench.bytes_per_column(137, 4)

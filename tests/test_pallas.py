@@ -596,6 +596,109 @@ def test_pallas_nl_packed_streams_bit_exact(f32_state_small):
                 )
 
 
+def test_pallas_nl_tile_layout_bit_exact(f32_state_small):
+    """tile_layout=True relays streams out tile-contiguously (one
+    contiguous HBM extent per grid instance — the round-5 layout probe for
+    the large-batch falloff); per-column computation is identical, so all
+    outputs must be bitwise equal to the global-layout kernel, in the
+    rolled (ragged) and unrolled (padded) layouts, with and without the
+    trajectory streams."""
+    s, dt, c = f32_state_small
+    for unroll in (1, 2):
+        ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, unroll=unroll)
+        got = cloudsc2_nl_pallas(
+            s, dt, c, interpret=True, wb=128, unroll=unroll, tile_layout=True
+        )
+        for r_d, g_d in zip(ref, got):
+            for n in r_d:
+                np.testing.assert_array_equal(
+                    np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
+                )
+    ref = cloudsc2_nl_pallas(
+        s, dt, c, interpret=True, wb=128, with_trajectory=True
+    )
+    got = cloudsc2_nl_pallas(
+        s, dt, c, interpret=True, wb=128, with_trajectory=True,
+        tile_layout=True,
+    )
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
+            )
+
+
+def test_pallas_nl_state_tiled_bit_exact(f32_state_small):
+    """state_tiled=True: the whole call operates on tiled-native storage
+    ((nj, L, 8, wb) fields; levelscan pre_tiled/keep_tiled) — the
+    persistent-storage form that eliminates per-step relayouts in chains.
+    Outputs, de-tiled, must be bitwise equal to the standard-layout
+    kernel (including the XLA-side tropopause search and flux assembly,
+    which are re-derived on the tiled axes)."""
+    from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+
+    s, dt, c = f32_state_small
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128)
+    st = {
+        k: (tile_field(v, 128) if v.ndim == 2 else v) for k, v in s.items()
+    }
+    got = cloudsc2_nl_pallas(
+        st, dt, c, interpret=True, tile_layout=True, state_tiled=True
+    )
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(untile_field(g_d[n])), np.asarray(r_d[n]),
+                err_msg=n,
+            )
+
+
+def test_pallas_tl_ad_state_tiled_bit_exact(f32_state_small):
+    """TL and two-kernel AD under tiled-native storage: outputs, de-tiled,
+    are bitwise equal to the standard layout (the 3 trajectory streams
+    flow between the AD's kernels in tiled form with no relayout)."""
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tt, dd = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n] = tt[n]
+        s["tnd_" + n + "_i"] = tt[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = dd[n + "_i"]
+    st = {k: (tile_field(v, 128) if v.ndim == 2 else v) for k, v in s.items()}
+
+    tt_t, dd_t = cloudsc2_tl_pallas(
+        s, dt, c, interpret=True, wb=128, unroll=1
+    )
+    got = cloudsc2_tl_pallas(
+        st, dt, c, interpret=True, unroll=1, tile_layout=True,
+        state_tiled=True,
+    )
+    for r_d, g_d in zip((tt_t, dd_t), got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(untile_field(g_d[n])), np.asarray(r_d[n]),
+                err_msg="tl:" + n,
+            )
+
+    ad_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    ad_got = cloudsc2_ad_pallas(
+        st, dt, c, interpret=True, tile_layout=True, state_tiled=True
+    )
+    for r_d, g_d in zip(ad_ref, ad_got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(untile_field(g_d[n])), np.asarray(r_d[n]),
+                err_msg="ad:" + n,
+            )
+
+
 def test_pack_inputs_mixed_dtype_rejected():
     """pack_inputs groups must be dtype-uniform (ADVICE r4): jnp.stack on
     mixed dtypes would silently promote the packed stream instead of
