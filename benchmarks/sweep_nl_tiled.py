@@ -38,6 +38,25 @@ state = {
 }
 state["eta"] = eta_levels(state["ap"], state["aph"])
 
+# PAD_LEVELS=N: edge-pad every field to N levels BEFORE tiling, so the
+# padded (unroll>1) layout needs no per-call pad copies — isolates "does
+# cross-level unrolling help at the serial wall" from the padding tax
+# (compare u1 vs u2 at the SAME padded height, and u1@N vs u1@137 for the
+# pure extra-level cost)
+PADL = int(os.environ.get("PAD_LEVELS", "0"))
+if PADL:
+    def _padl(v, h):
+        return jnp.pad(v, ((0, h - v.shape[0]), (0, 0)), mode="edge")
+
+    state = {
+        k: (
+            _padl(v, PADL + 1) if k == "aph"
+            else (_padl(v, PADL) if getattr(v, "ndim", 0) == 2 else v)
+        )
+        for k, v in state.items()
+    }
+    state["eta"] = jnp.pad(state["eta"], (0, PADL - NLEV), mode="edge")
+
 TILED = {}
 
 

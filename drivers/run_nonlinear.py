@@ -158,7 +158,52 @@ def core(config, io_config, impl="auto"):
         state, _ = pad_columns(state, 128 * mesh.devices.size)
         state = shard_state(state, mesh)
 
-    if config.sharded:
+    layout = getattr(config, "_layout", "global")
+    if layout == "tiled":
+        # tiled-native storage (round 5): the persistent state lives in
+        # (nj, L, 8, wb) form — every kernel fetch is one contiguous HBM
+        # burst; measured NL 29M vs 19M cols/s at 65k columns (see
+        # benchmarks/README.md §Round 5).  Inputs are tiled ONCE before the
+        # timed loop and outputs are consumed tiled (untiled once for
+        # validation) — the storage format is an internal pipeline choice,
+        # exactly like the reference's ifirst/kfirst backend axis.
+        if config.sharded or config.distributed or stream_chunk:
+            raise click.UsageError(
+                "--layout tiled is a single-chip resident mode"
+            )
+        if impl not in ("pallas", "pallas-interpret"):
+            raise click.UsageError("--layout tiled requires --impl pallas")
+        if config.precision != "single":
+            raise click.UsageError(
+                "--layout tiled requires --precision single (Pallas path)"
+            )
+        if ncols % 4096 != 0:
+            raise click.UsageError(
+                f"--layout tiled needs num-cols % 4096 == 0 (got {ncols})"
+            )
+        from functools import partial as _partial
+
+        from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+        from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
+        from cloudsc2_tpu.physics.saturation import saturation as sat_fn
+
+        state_t = {
+            k: (tile_field(v, 512) if v.ndim == 2 else v)
+            for k, v in state.items()
+        }
+
+        @_partial(jax.jit, static_argnames=())
+        def _tiled_step(s):
+            s = dict(s)
+            s["qsat"] = sat_fn(s["ap"], s["t"], kflag=1, lphylin=True, c=c)
+            return cloudsc2_nl_pallas(
+                s, dt, c, tile_layout=True, state_tiled=True,
+                interpret=impl == "pallas-interpret",
+            )
+
+        def run_once(_s):
+            return _tiled_step(state_t)
+    elif config.sharded:
         # GSPMD cannot partition a pallas_call: the sharded hot loop runs
         # the fused forward step under shard_map (per-device local kernels,
         # no communication — columns are independent)
@@ -256,6 +301,9 @@ def core(config, io_config, impl="auto"):
                 print("Validation skipped: this process holds only pad columns.")
                 return 0
         else:
+            if layout == "tiled":
+                tends = {k: untile_field(v) for k, v in tends.items()}
+                diags = {k: untile_field(v) for k, v in diags.items()}
             tends_np = {k: np.asarray(v) for k, v in tends.items()}
             diags_np = {k: np.asarray(v) for k, v in diags.items()}
             if config.sharded:
@@ -343,13 +391,19 @@ def config_tolerances(config):
               "tendencies+diagnostics into host ring buffers overlapped "
               "with compute (the reference's outputs-every-run contract); "
               "the validated sample then certifies the D2H path")
+@click.option("--layout", type=click.Choice(["global", "tiled"]), default="global",
+              help="stream storage layout: global (nlev, ncols) or tiled-native "
+              "(nj, nlev, 8, 512) — one contiguous HBM extent per column tile; "
+              "requires --impl pallas, --precision single, num-cols % 4096 == 0 "
+              "(measured NL 29M vs 19M cols/s at 65k columns, "
+              "benchmarks/README.md §Round 5)")
 @click.option("--host-alias", type=str, default="localhost")
 def main(
     backend, num_cols, num_runs, precision, enable_checks, enable_validation,
     input_file, reference_file, atol, rtol, sharded, distributed, coordinator,
     process_id, num_processes, output_csv_file,
     output_csv_file_stencils, profile_dir, impl, fast_div, stream_chunk,
-    stream_ring, stream_outputs, host_alias,
+    stream_ring, stream_outputs, layout, host_alias,
 ):
     config = (
         DEFAULT_CONFIG.with_precision(precision)
@@ -383,6 +437,7 @@ def main(
     object.__setattr__(config, "_stream_chunk", stream_chunk)
     object.__setattr__(config, "_stream_ring", stream_ring)
     object.__setattr__(config, "_stream_outputs", stream_outputs)
+    object.__setattr__(config, "_layout", layout)
     io_config = (
         DEFAULT_IO_CONFIG.with_output_csv_file(output_csv_file)
         .with_output_csv_file_stencils(output_csv_file_stencils)
