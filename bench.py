@@ -126,7 +126,12 @@ def _microbench_step_seconds(step_fn, shape, long_n, short_n, reps,
         float(chain(x0, long_n)[0, 0])
         tl = time.perf_counter() - t0
         samples.append((tl - ts) / (long_n - short_n) / reps)
-    return float(np.median(samples))
+    # tunnel jitter can exceed the chain-difference compute on a bad day
+    # (observed 2026-08-20: NEGATIVE slopes → nonsense denominators in two
+    # consecutive runs); a negative sample is physically impossible, so
+    # drop them before the median rather than let them drag it
+    pos = [s for s in samples if s > 0]
+    return float(np.median(pos)) if pos else float("nan")
 
 
 def _logistic_chain_rate(shape, long_n, short_n, reps) -> float:
@@ -145,8 +150,12 @@ def measure_vpu_op_rate() -> float:
     """Measured parallel-ILP VPU op issue rate (ops/sec) — the denominator
     of the *compute* roofline: a (137, 65536) working set gives the chip
     ~2,200 independent vreg chains to pipeline across, i.e. unlimited ILP.
-    """
-    return _logistic_chain_rate((137, 65536), 96, 16, 16)
+
+    Chain lengths sized so the long-short compute difference (~40 ms at
+    the expected ~1e13 ops/s) stays an order of magnitude above tunnel
+    jitter (round-5 hardening: the previous ~2 ms difference produced
+    negative slopes on a jittery day)."""
+    return _logistic_chain_rate((137, 65536), 352, 32, 32)
 
 
 #: 2-op dependent chain steps for the serial-latency model — numerically
@@ -163,11 +172,12 @@ _SERIAL_STEPS = {
 def _serial_chain_step_seconds(step_kind: str) -> float:
     """Median seconds per 2-op dependent chain step on ONE (8, 512) working
     set — the physics kernels' actual ILP envelope (one column tile, every
-    op dependent on the previous).  448*16384 ~ 7.3M dependent steps per
-    chain difference: large enough that tunnel jitter cannot bias the
-    slope."""
+    op dependent on the previous).  448*49152 ~ 22M dependent steps per
+    chain difference (~65 ms at the measured ~7e11 ops/s): large enough
+    that tunnel jitter cannot bias the slope (round-5 hardening; the
+    previous 7.3M-step difference went negative on a jittery day)."""
     return _microbench_step_seconds(
-        _SERIAL_STEPS[step_kind], (8, 512), 512, 64, 16384
+        _SERIAL_STEPS[step_kind], (8, 512), 512, 64, 49152
     )
 
 
@@ -182,6 +192,11 @@ def measure_serial_latency_model() -> dict:
     pipelined divider on a dependent chain, so the serial model must use
     latency weights."""
     t_mul = _serial_chain_step_seconds("mul")  # sub+mul: 2 mul-class ops
+    if not np.isfinite(t_mul):
+        return {"serial_ops_per_sec": float("nan"),
+                "div_latency_weight": float("nan"),
+                "exp_latency_weight": float("nan"),
+                "sqrt_latency_weight": float("nan")}
     t1 = t_mul / 2.0
     out = {"serial_ops_per_sec": 2.0 * 8 * 512 / t_mul}
     for kind in ("div", "exp", "sqrt"):
@@ -204,11 +219,25 @@ def fetch(x) -> float:
     return float(jnp.sum(x[0]))
 
 
+#: physical floor on per-step seconds at the bench shape: no scheme can
+#: beat the HBM speed-of-light of the NL step's minimal traffic (~1.1 ms
+#: at 65k columns on v5e); a median below HALF that is a measurement
+#: artifact (observed once: a tunnel window collapsed the AD slope to
+#: 0.21 ms/step → a nonsense 308M cols/s in BENCH run 1, 2026-08-20)
+_MIN_STEP_S = 5.5e-4
+
+#: set when a chain's slope stayed absurd after a resample — carried into
+#: the JSON so the driver-recorded artifact flags itself
+_SUSPECT: list = []
+
+
 def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
     """Per-step seconds from the long/short chain difference (MEDIAN over
     repeats).  min() is optimistically biased here: a tunnel hiccup during
     the SHORT run shrinks the slope and inflates throughput — observed as a
-    spurious +45% on one AD sweep; the median is robust both ways."""
+    spurious +45% on one AD sweep; the median is robust both ways.
+    Physically impossible medians (see ``_MIN_STEP_S``) trigger ONE full
+    resample; if still absurd the scheme is recorded in ``_SUSPECT``."""
     t0 = time.perf_counter()
     fetch(chain(state, short_n, dt, c))
     name = getattr(getattr(chain, "__wrapped__", chain), "__name__", "chain")
@@ -216,16 +245,26 @@ def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
     t0 = time.perf_counter()
     fetch(chain(state, long_n, dt, c))
     note(f"long-chain warm-up done in {time.perf_counter() - t0:.1f}s; timing {REPEATS} samples")
-    per = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        fetch(chain(state, short_n, dt, c))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fetch(chain(state, long_n, dt, c))
-        t_long = time.perf_counter() - t0
-        per.append((t_long - t_short) / (long_n - short_n))
-    return float(np.median(per))
+
+    def sample_once():
+        per = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            fetch(chain(state, short_n, dt, c))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fetch(chain(state, long_n, dt, c))
+            t_long = time.perf_counter() - t0
+            per.append((t_long - t_short) / (long_n - short_n))
+        return float(np.median(per))
+
+    med = sample_once()
+    if med < _MIN_STEP_S:
+        note(f"{name}: absurd slope {med * 1e3:.3f} ms/step (tunnel window?) — resampling")
+        med = sample_once()
+        if med < _MIN_STEP_S:
+            _SUSPECT.append(name)
+    return med
 
 
 def _tiled(state) -> bool:
@@ -540,6 +579,7 @@ def main() -> None:
         _TIMER.cancel()
         _TIMER = None
     _DONE.clear()
+    _SUSPECT.clear()
     if not wait_for_device():
         # the chip never answered: touching the backend would hang the
         # driver indefinitely (the axon client constructor blocks while
@@ -696,6 +736,17 @@ def main() -> None:
             "div_latency_weight": lat["div_latency_weight"],
             "exp_latency_weight": lat["exp_latency_weight"],
             "sqrt_latency_weight": lat["sqrt_latency_weight"],
+            # in-band health flags (round-5 hardening): chains whose slope
+            # stayed physically impossible after a resample, and a
+            # denominator sanity check (the parallel-ILP VPU rate must
+            # exceed the single-tile serial rate by a wide margin — when it
+            # does not, every *_roofline fraction in this line is unreliable)
+            "suspect_chains": list(_SUSPECT),
+            "microbench_suspect": bool(
+                not np.isfinite(vpu_rate)
+                or not np.isfinite(serial_rate)
+                or vpu_rate < 2.0 * serial_rate
+            ),
         }
     )
 

@@ -12,6 +12,11 @@ strings, ``run_nonlinear.py:156-158``):
   required (:func:`cloudsc2_tpu.pallas.levelscan.level_scan_pallas` raises
   a clear ``ValueError`` otherwise).
 - ``"pallas-interpret"`` — the kernels in interpreter mode (CPU testing).
+- ``"pallas-tiled"`` — the kernels on tiled-native storage (round 5;
+  state tiled at entry, outputs untiled at exit — the boundary-relayout
+  form, correct but slower than persistent tiled state; use it to run the
+  validation protocols through the tiled kernels.  The FAST form keeps
+  the pipeline state tiled: bench.py chains, driver ``--layout tiled``).
 
 ``"auto"`` resolution (pick Pallas when it is known to work) is
 :func:`use_pallas` below, shared by the component layer and the step
@@ -21,16 +26,19 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, Tuple
 
+PALLAS_IMPLS = ("pallas", "pallas-interpret", "pallas-tiled")
+
 
 def use_pallas(state: Mapping, impl: str) -> bool:
     """One auto/explicit Pallas eligibility predicate for every entry point.
 
-    Explicit ``pallas``/``pallas-interpret`` always selects the kernel (it
-    raises a clear ValueError on f64 or ragged columns rather than silently
-    degrading to scan); ``auto`` picks the kernel only when it is known to
-    work: f32, lane-aligned columns, accelerator backend.
+    Explicit ``pallas``/``pallas-interpret``/``pallas-tiled`` always
+    selects the kernel (it raises a clear ValueError on f64 or ragged
+    columns rather than silently degrading to scan); ``auto`` picks the
+    kernel only when it is known to work: f32, lane-aligned columns,
+    accelerator backend.
     """
-    if impl in ("pallas", "pallas-interpret"):
+    if impl in PALLAS_IMPLS:
         return True
     if impl != "auto":
         return False
@@ -47,14 +55,47 @@ def use_pallas(state: Mapping, impl: str) -> bool:
     )
 
 
+def _tiled_boundary(fn: Callable) -> Callable:
+    """Wrap a state_tiled kernel entry as a standard-layout function:
+    tile the 2-D fields at entry, untile every output dict at exit.
+    Bitwise-identical outputs (asserted by the layout tests)."""
+    from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+    from cloudsc2_tpu.pallas.nonlinear import WB
+
+    def wrapped(state, dt, c, **kw):
+        # widest lane tile that divides the column count (the kernels
+        # accept any wb multiple of 128; 512 is the measured best)
+        w = state["ap"].shape[1] // 8
+        wb = next((d for d in (WB, 256, 128) if w % d == 0), None)
+        if wb is None:
+            raise ValueError(
+                f"pallas-tiled needs ncols % 1024 == 0 (got {w * 8})"
+            )
+        st = {
+            k: (tile_field(v, wb) if getattr(v, "ndim", 0) == 2 else v)
+            for k, v in state.items()
+        }
+        out = fn(st, dt, c, tile_layout=True, state_tiled=True, **kw)
+        return tuple(
+            {k: untile_field(v) for k, v in d.items()} for d in out
+        )
+
+    return wrapped
+
+
 def nl_tl_fns(impl: str) -> Tuple[Callable, Callable]:
     """(nonlinear, tangent-linear) functions for ``impl``."""
-    if impl in ("pallas", "pallas-interpret"):
+    if impl in PALLAS_IMPLS:
         from functools import partial
 
         from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
         from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 
+        if impl == "pallas-tiled":
+            return (
+                _tiled_boundary(cloudsc2_nl_pallas),
+                _tiled_boundary(cloudsc2_tl_pallas),
+            )
         interp = impl == "pallas-interpret"
         return (
             partial(cloudsc2_nl_pallas, interpret=interp),
@@ -68,12 +109,17 @@ def nl_tl_fns(impl: str) -> Tuple[Callable, Callable]:
 
 def tl_ad_fns(impl: str) -> Tuple[Callable, Callable]:
     """(tangent-linear, adjoint) functions for ``impl``."""
-    if impl in ("pallas", "pallas-interpret"):
+    if impl in PALLAS_IMPLS:
         from functools import partial
 
         from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
         from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 
+        if impl == "pallas-tiled":
+            return (
+                _tiled_boundary(cloudsc2_tl_pallas),
+                _tiled_boundary(cloudsc2_ad_pallas),
+            )
         interp = impl == "pallas-interpret"
         return (
             partial(cloudsc2_tl_pallas, interpret=interp),

@@ -48,6 +48,10 @@ def _nl_impl(state: Dict[str, Array], dt: float, c: Constants, impl: str):
     if _use_pallas(state, impl):
         from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
+        if impl == "pallas-tiled":
+            from cloudsc2_tpu.dispatch import _tiled_boundary
+
+            return _tiled_boundary(cloudsc2_nl_pallas)(state, dt, c)
         return cloudsc2_nl_pallas(
             state, dt, c, interpret=impl == "pallas-interpret"
         )
@@ -91,9 +95,14 @@ def forward_step(
     if _use_pallas(s, impl):
         from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
-        tends, diags = cloudsc2_nl_pallas(
-            s, dt, c, interpret=impl == "pallas-interpret"
-        )
+        if impl == "pallas-tiled":
+            from cloudsc2_tpu.dispatch import _tiled_boundary
+
+            tends, diags = _tiled_boundary(cloudsc2_nl_pallas)(s, dt, c)
+        else:
+            tends, diags = cloudsc2_nl_pallas(
+                s, dt, c, interpret=impl == "pallas-interpret"
+            )
         diags["qsat"] = s["qsat"]
         return tends, diags
     return _nl_impl(s, dt, c, impl)

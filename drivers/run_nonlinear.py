@@ -373,7 +373,7 @@ def config_tolerances(config):
 @click.option("--output-csv-file", type=str, default=None)
 @click.option("--output-csv-file-stencils", type=str, default=None)
 @click.option("--profile-dir", type=str, default=None, help="write a jax.profiler trace")
-@click.option("--impl", type=click.Choice(["auto", "scan", "pallas", "pallas-interpret"]),
+@click.option("--impl", type=click.Choice(["auto", "scan", "pallas", "pallas-interpret", "pallas-tiled"]),
               default="auto", help="kernel implementation (auto: pallas on TPU when "
               "f32 and ncols is a multiple of the column tile, else scan)")
 @click.option("--fast-div", type=click.Choice(["exact", "faithful", "approx"]),

@@ -114,7 +114,7 @@ def core(config, io_config, factor, config_impl="scan"):
 @click.option("--input-file", type=str, default=None)
 @click.option("--output-csv-file", type=str, default=None)
 @click.option("--output-csv-file-stencils", type=str, default=None)
-@click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
+@click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret", "pallas-tiled"]), default="scan",
               help="kernel implementation (pallas: f32 TPU kernels)")
 @click.option("--sharded/--no-sharded", default=False,
               help="column-shard the TL/AD schemes over all devices (shard_map)")

@@ -134,7 +134,7 @@ def core(config, io_config, factor1, factor2s, config_impl="scan", floors="f64",
 @click.option("--input-file", type=str, default=None)
 @click.option("--output-csv-file", type=str, default=None)
 @click.option("--output-csv-file-stencils", type=str, default=None)
-@click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret"]), default="scan",
+@click.option("--impl", type=click.Choice(["scan", "pallas", "pallas-interpret", "pallas-tiled"]), default="scan",
               help="kernel implementation (pallas: f32 TPU kernels; pair with "
               "--floors auto/f32 — the reference's f64 verdict floors are below "
               "single-precision resolution)")

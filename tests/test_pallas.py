@@ -699,6 +699,22 @@ def test_pallas_tl_ad_state_tiled_bit_exact(f32_state_small):
             )
 
 
+def test_dispatch_pallas_tiled_boundary(f32_state_small):
+    """impl="pallas-tiled" (dispatch): standard-layout in/out around the
+    state_tiled kernels — outputs bitwise equal to impl="pallas"."""
+    from cloudsc2_tpu.dispatch import nl_tl_fns
+
+    s, dt, c = f32_state_small
+    nl_t, _tl_t = nl_tl_fns("pallas-tiled")
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, unroll=1, wb=128)
+    got = nl_t(s, dt, c, interpret=True)
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
+            )
+
+
 def test_pack_inputs_mixed_dtype_rejected():
     """pack_inputs groups must be dtype-uniform (ADVICE r4): jnp.stack on
     mixed dtypes would silently promote the packed stream instead of
