@@ -699,6 +699,28 @@ def test_pallas_tl_ad_state_tiled_bit_exact(f32_state_small):
             )
 
 
+def test_tile_field_roundtrip():
+    """tile_field/untile_field invert each other for 2-D level fields and
+    1-D per-column fields, and tiling preserves column identity (tile j,
+    lane l == global column order of the (8, w) view)."""
+    from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+
+    rng = np.random.default_rng(0)
+    v2 = jnp.asarray(rng.standard_normal((7, 2048)), jnp.float32)
+    t2 = tile_field(v2, 128)
+    assert t2.shape == (2, 7, 8, 128)
+    np.testing.assert_array_equal(np.asarray(untile_field(t2)), np.asarray(v2))
+    # column identity: tile j covers lanes j*wb..(j+1)*wb of the (8, w) view
+    np.testing.assert_array_equal(
+        np.asarray(t2[1, 3]), np.asarray(v2[3].reshape(8, 256)[:, 128:])
+    )
+
+    v1 = jnp.asarray(rng.standard_normal(2048), jnp.float32)
+    t1 = tile_field(v1, 128)
+    assert t1.shape == (2, 8, 128)
+    np.testing.assert_array_equal(np.asarray(untile_field(t1)), np.asarray(v1))
+
+
 def test_dispatch_pallas_tiled_boundary(f32_state_small):
     """impl="pallas-tiled" (dispatch): standard-layout in/out around the
     state_tiled kernels — outputs bitwise equal to impl="pallas"."""
