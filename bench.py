@@ -346,6 +346,46 @@ def chain_ad(state, n, dt, c):
     return s["t"]
 
 
+@partial(jax.jit, static_argnames=("n", "dt", "c"))
+def chain_tl_delta(state, n, dt, c):
+    """δ-only TL chain (``tangent_only=True``): the production 4D-Var
+    operator form — the duplicate forward output streams are elided
+    (round-5 stream lever).  Supplementary metric; the headline TL chain
+    keeps the reference's both-outputs contract."""
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+    def body(_, s):
+        tends, _d = cloudsc2_tl_pallas(
+            s, dt, c, tile_layout=_tiled(s), state_tiled=_tiled(s),
+            tangent_only=True,
+        )
+        s = dict(s)
+        eps = jnp.asarray(1e-30, s["t"].dtype)
+        s["t_i"] = s["t_i"] + eps * tends["t_i"]
+        return s
+
+    return jax.lax.fori_loop(0, n, body, dict(state))["t_i"]
+
+
+@partial(jax.jit, static_argnames=("n", "dt", "c"))
+def chain_ad_delta(state, n, dt, c):
+    """Cotangent-only AD chain (``cotangent_only=True``): gradient-only
+    form — forward tendency/diagnostic streams elided in both kernels."""
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+
+    def body(_, s):
+        _t, diags = cloudsc2_ad_pallas(
+            s, dt, c, tile_layout=_tiled(s), state_tiled=_tiled(s),
+            cotangent_only=True,
+        )
+        s = dict(s)
+        eps = jnp.asarray(1e-30, s["t"].dtype)
+        s["t"] = s["t"] + eps * diags["t_i"]
+        return s
+
+    return jax.lax.fori_loop(0, n, body, dict(state))["t"]
+
+
 def build_nl_state(ncols: int = NCOLS):
     """The NL chain's input state (tiled synthetic columns) and dt.
 
@@ -654,7 +694,20 @@ def main() -> None:
 
     t_ad = chain_seconds(chain_ad, tiled_of(s_ad), dt, c, 32, 4)
     ad_cols = NCOLS / t_ad
-    note(f"AD {ad_cols / 1e6:.2f}M cols/s; measuring VPU op rates")
+    note(f"AD {ad_cols / 1e6:.2f}M cols/s")
+
+    # supplementary δ-only operator forms (tangent_only/cotangent_only:
+    # duplicate forward output streams elided — the production 4D-Var
+    # contract; the headline numbers above keep the reference's
+    # both-outputs contract)
+    t_tlo = chain_seconds(chain_tl_delta, tiled_of(s), dt, c, 32, 4)
+    tlo_cols = NCOLS / t_tlo
+    t_ado = chain_seconds(chain_ad_delta, tiled_of(s_ad), dt, c, 32, 4)
+    ado_cols = NCOLS / t_ado
+    note(
+        f"TL δ-only {tlo_cols / 1e6:.2f}M, AD cotangent-only "
+        f"{ado_cols / 1e6:.2f}M cols/s; measuring VPU op rates"
+    )
 
     sol = device_bandwidth() / bytes_per_column(NLEV, np.dtype(DTYPE.__name__).itemsize)
 
@@ -716,6 +769,8 @@ def main() -> None:
             "vs_baseline": nl_cols / sol,
             "tl_columns_per_sec": tl_cols,
             "ad_columns_per_sec": ad_cols,
+            "tl_tangent_only_columns_per_sec": tlo_cols,
+            "ad_cotangent_only_columns_per_sec": ado_cols,
             "vs_compute_roofline": vs_compute,
             "vs_compute_roofline_denom_spread": vpu_spread,
             "vs_serial_roofline": vs_serial,

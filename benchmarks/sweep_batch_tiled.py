@@ -129,7 +129,8 @@ for _ in range(SAMPLES):
         tl = time.perf_counter() - t0
         per[a].append((tl - ts) / (longn - shortn))
 for a, scheme, ncols, longn, shortn, st, dt in live:
-    med = sorted(per[a])[len(per[a]) // 2]
+    pos = sorted(s for s in per[a] if s > 0) or [float('nan')]
+    med = pos[len(pos) // 2]
     print(json.dumps({
         "cfg": a, "ncols": ncols, "per_step_ms": round(med * 1e3, 3),
         "cols_per_sec": round(ncols / med),

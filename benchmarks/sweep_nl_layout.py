@@ -125,7 +125,8 @@ for lg in SIZES:
             tl = time.perf_counter() - t0
             per[name].append((tl - ts) / (LONG - SHORT))
     for name in live:
-        med = sorted(per[name])[len(per[name]) // 2]
+        pos = sorted(s for s in per[name] if s > 0) or [float('nan')]
+        med = pos[len(pos) // 2]
         print(json.dumps({
             "ncols": ncols, "variant": name, "per_step_ms": round(med * 1e3, 3),
             "cols_per_sec": round(ncols / med),

@@ -128,7 +128,8 @@ for _ in range(SAMPLES):
         tl = time.perf_counter() - t0
         per[cfg].append((tl - ts) / (LONG - SHORT))
 for cfg in live:
-    med = sorted(per[cfg])[len(per[cfg]) // 2]
+    pos = sorted(s for s in per[cfg] if s > 0) or [float('nan')]
+    med = pos[len(pos) // 2]
     print(json.dumps({
         "cfg": cfg, "per_step_ms": round(med * 1e3, 3),
         "cols_per_sec": round(NCOLS / med),

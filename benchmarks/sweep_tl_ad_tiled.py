@@ -57,16 +57,17 @@ state_t = {k: (tile_field(v, WB) if v.ndim == 2 else v) for k, v in state.items(
 s_ad_t = {k: (tile_field(v, WB) if v.ndim == 2 else v) for k, v in s_ad.items()}
 
 
-@partial(jax.jit, static_argnames=("n", "kb", "tiled"))
-def chain_tl(st0, n, kb, tiled):
+@partial(jax.jit, static_argnames=("n", "kb", "tiled", "t_only"))
+def chain_tl(st0, n, kb, tiled, t_only=False):
     def body(_, st):
         tends, _d = cloudsc2_tl_pallas(
             st, dt, c, kb=kb, tile_layout=tiled, state_tiled=tiled,
-            unroll=1 if tiled else None,
+            unroll=1 if tiled else None, tangent_only=t_only,
         )
         st = dict(st)
         eps = jnp.asarray(1e-30, st["t"].dtype)
-        st["t"] = st["t"] + eps * tends["t"]
+        if not t_only:
+            st["t"] = st["t"] + eps * tends["t"]
         st["t_i"] = st["t_i"] + eps * tends["t_i"]
         return st
 
@@ -74,16 +75,19 @@ def chain_tl(st0, n, kb, tiled):
     return s["t"] + s["t_i"]
 
 
-@partial(jax.jit, static_argnames=("n", "kb", "fwd_kb", "tiled"))
-def chain_ad(st0, n, kb, fwd_kb, tiled):
+@partial(jax.jit, static_argnames=("n", "kb", "fwd_kb", "tiled", "c_only"))
+def chain_ad(st0, n, kb, fwd_kb, tiled, c_only=False):
     def body(_, st):
         tends, diags = cloudsc2_ad_pallas(
             st, dt, c, kb=kb, fwd_kb=fwd_kb,
-            tile_layout=tiled, state_tiled=tiled,
+            tile_layout=tiled, state_tiled=tiled, cotangent_only=c_only,
         )
         st = dict(st)
         eps = jnp.asarray(1e-30, st["t"].dtype)
-        st["t"] = st["t"] + eps * tends["t"] + eps * diags["t_i"]
+        st["t"] = st["t"] + (
+            eps * diags["t_i"] if c_only
+            else eps * tends["t"] + eps * diags["t_i"]
+        )
         return st
 
     return jax.lax.fori_loop(0, n, body, dict(st0))["t"]
@@ -99,20 +103,28 @@ SAMPLES = int(os.environ.get("SWEEP_SAMPLES", "5"))
 RUNNERS = {}
 for a in ARGS:
     scheme, spec = a.split(":")
-    if scheme == "tl":
+    if scheme in ("tl", "tlo"):
+        t_only = scheme == "tlo"
         if spec == "g":
-            RUNNERS[a] = lambda n: chain_tl(state, n, None, False)
+            RUNNERS[a] = lambda n, to=t_only: chain_tl(state, n, None, False, to)
         else:
             kb = int(spec)
-            RUNNERS[a] = lambda n, kb=kb: chain_tl(state_t, n, kb, True)
+            RUNNERS[a] = lambda n, kb=kb, to=t_only: chain_tl(
+                state_t, n, kb, True, to
+            )
     else:
+        c_only = scheme == "ado"
         if spec == "g":
-            RUNNERS[a] = lambda n: chain_ad(s_ad, n, None, None, False)
+            RUNNERS[a] = lambda n, co=c_only: chain_ad(
+                s_ad, n, None, None, False, co
+            )
         else:
             parts = [int(x) for x in spec.split(",")]
             kb = parts[0]
             fkb = parts[1] if len(parts) > 1 else None
-            RUNNERS[a] = lambda n, kb=kb, fkb=fkb: chain_ad(s_ad_t, n, kb, fkb, True)
+            RUNNERS[a] = lambda n, kb=kb, fkb=fkb, co=c_only: chain_ad(
+                s_ad_t, n, kb, fkb, True, co
+            )
 
 live = []
 for name, run in RUNNERS.items():
@@ -137,7 +149,8 @@ for _ in range(SAMPLES):
         tl = time.perf_counter() - t0
         per[name].append((tl - ts) / (LONG - SHORT))
 for name in live:
-    med = sorted(per[name])[len(per[name]) // 2]
+    pos = sorted(s for s in per[name] if s > 0) or [float('nan')]
+    med = pos[len(pos) // 2]
     print(json.dumps({
         "cfg": name, "per_step_ms": round(med * 1e3, 3),
         "cols_per_sec": round(NCOLS / med),

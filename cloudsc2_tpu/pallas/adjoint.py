@@ -117,7 +117,7 @@ SEED_NAMES = (
     jax.jit,
     static_argnames=(
         "dt", "c", "interpret", "kb", "wb", "unroll", "fwd_kb", "fwd_unroll",
-        "tile_layout", "state_tiled",
+        "tile_layout", "state_tiled", "cotangent_only",
     ),
 )
 def cloudsc2_ad_pallas(
@@ -132,6 +132,7 @@ def cloudsc2_ad_pallas(
     fwd_unroll: int | None = None,
     tile_layout: bool = False,
     state_tiled: bool = False,
+    cotangent_only: bool = False,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.adjoint.
     cloudsc2_ad` backed by the forward + reverse Pallas kernels.
@@ -139,7 +140,15 @@ def cloudsc2_ad_pallas(
     ``tile_layout``/``state_tiled``: tile-contiguous streams / tiled-native
     state end-to-end — the 3 trajectory streams flow between the two
     kernels in tiled form with no relayout (see
-    :func:`cloudsc2_tpu.pallas.nonlinear.cloudsc2_nl_pallas`)."""
+    :func:`cloudsc2_tpu.pallas.nonlinear.cloudsc2_nl_pallas`).
+
+    ``cotangent_only=True``: drop the recomputed forward tendency/
+    diagnostic output streams (the reference AD returns them,
+    ``adjoint/microphysics.py:150-218``, because its forward sweep is
+    fused in-stencil; a gradient-only consumer already has them from the
+    NL run) — the forward kernel then writes ONLY the 2-3 trajectory
+    streams (~8 fewer full-grid HBM writes).  Returned dicts contain
+    only the ``cml_*_i`` tendencies and ``*_i`` cotangent diagnostics."""
     if not c.LPHYLIN:
         raise ValueError(
             "cloudsc2_ad_pallas requires LPHYLIN=True (the kernel's forward "
@@ -202,6 +211,7 @@ def cloudsc2_ad_pallas(
         state, dt, c, interpret=interpret, with_trajectory=True, kb=fwd_kb,
         wb=fwd_wb, unroll=fwd_u, padded_traj=padded_traj,
         tile_layout=tile_layout, state_tiled=state_tiled,
+        traj_only=cotangent_only,
     )
 
     # ---- reverse-kernel inputs ----

@@ -68,7 +68,7 @@ LEVEL_OUTPUTS = (
         "dt", "c", "interpret", "with_trajectory", "kb", "wb", "unroll",
         "fuse_saturation", "kflag", "split", "xla_pre", "padded_traj",
         "interleave", "pipeline", "elide_covptot", "pack", "tile_layout",
-        "state_tiled",
+        "state_tiled", "traj_only",
     ),
 )
 def cloudsc2_nl_pallas(
@@ -91,6 +91,7 @@ def cloudsc2_nl_pallas(
     pack: bool = False,
     tile_layout: bool = False,
     state_tiled: bool = False,
+    traj_only: bool = False,
 ) -> Tuple[Dict[str, Array], ...]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.nonlinear.
     cloudsc2_nl` backed by the Pallas kernel.
@@ -381,6 +382,12 @@ def cloudsc2_nl_pallas(
             return tends, diags, traj
         return tends, diags
 
+    if traj_only and not with_trajectory:
+        raise ValueError("traj_only requires with_trajectory=True")
+    if traj_only and (split or xla_pre or pipeline or pack):
+        raise ValueError(
+            "traj_only is incompatible with split/xla_pre/pipeline/pack"
+        )
     out_names = LEVEL_OUTPUTS
     if elide_covptot is None:
         elide_covptot = not (c.LEVAPLS2 or c.LDRAIN1D)
@@ -394,9 +401,15 @@ def cloudsc2_nl_pallas(
         # zeros in XLA; the returned diagnostics contract is unchanged
         out_names = tuple(n for n in out_names if n != "covptot")
     traj_names = ("c_rfl", "c_sfl") + (() if elide_covptot else ("c_cov",))
-    if with_trajectory:
+    if traj_only:
+        # the trajectory-producer form for cotangent-only adjoint runs
+        # (cloudsc2_ad_pallas cotangent_only=True): the forward tendency/
+        # diagnostic streams (~8 full-grid HBM writes) are never consumed
+        # there — write ONLY the per-level carry snapshots
+        out_names = traj_names
+    elif with_trajectory:
         out_names = out_names + traj_names
-    if fuse_saturation:
+    if fuse_saturation and not traj_only:
         out_names = out_names + ("qsat",)
     if padded_traj and not with_trajectory:
         raise ValueError("padded_traj requires with_trajectory=True")
@@ -460,6 +473,8 @@ def cloudsc2_nl_pallas(
             n: (v if n in ("c_rfl", "c_sfl", "c_cov") else v[:nlev])
             for n, v in named.items()
         }
+    if traj_only:
+        return {}, {}, {n: named[n] for n in traj_names}
 
     if state_tiled:
         zrow = jnp.zeros((nj_t, 1, 8, wb), dtype)

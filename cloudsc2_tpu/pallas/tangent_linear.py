@@ -62,7 +62,7 @@ LEVEL_OUTPUTS = (
 
 @partial(jax.jit, static_argnames=(
     "dt", "c", "interpret", "kb", "wb", "unroll", "split", "tile_layout",
-    "state_tiled",
+    "state_tiled", "tangent_only",
 ))
 def cloudsc2_tl_pallas(
     state: Dict[str, Array],
@@ -75,6 +75,7 @@ def cloudsc2_tl_pallas(
     split: bool = False,
     tile_layout: bool = False,
     state_tiled: bool = False,
+    tangent_only: bool = False,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Drop-in replacement for :func:`cloudsc2_tpu.physics.tangent_linear.
     cloudsc2_tl` backed by the Pallas kernel (f32, lane-aligned columns).
@@ -194,6 +195,18 @@ def cloudsc2_tl_pallas(
 
     kb_ = KB if kb is None else kb
     out_names = LEVEL_OUTPUTS
+    if tangent_only:
+        if split:
+            raise ValueError("tangent_only is incompatible with split")
+        # δ-only operator form: the forward trajectory streams (tnd_t,
+        # tnd_q, tnd_ql, tnd_qi, clc, fplsl, fplsn — 7 full-grid HBM
+        # writes, ~250 MB/step at the benchmark shape) duplicate the NL
+        # run every 4D-Var consumer already has; drop them and return
+        # only the perturbation outputs.  The reference TL emits both
+        # because its forward recompute is fused in-stencil
+        # (tangent_linear/_stencils/cloudsc2.py) — here the recompute
+        # still runs (it feeds the linearization) but never touches HBM
+        out_names = tuple(n for n in out_names if n.endswith("_i"))
     if not (c.LEVAPLS2 or c.LDRAIN1D):
         # evaporation branch compiled out: covptot and covptot_i are
         # identically zero — elide both constant-zero output streams
@@ -232,21 +245,31 @@ def cloudsc2_tl_pallas(
         cat_ax = 0
     tends = {}
     for name in ("t", "q", "ql", "qi"):
-        tends[name] = named["tnd_" + name]
+        if not tangent_only:
+            tends[name] = named["tnd_" + name]
         tends[name + "_i"] = named["tnd_" + name + "_i"]
     zfull = None
     diags = {}
-    for n in ("clc", "clc_i", "covptot", "covptot_i"):
+    diag_keys = (
+        ("clc_i", "covptot_i") if tangent_only
+        else ("clc", "clc_i", "covptot", "covptot_i")
+    )
+    for n in diag_keys:
         if n in named:
             diags[n] = named[n]
         else:
             if zfull is None:
-                zfull = jnp.zeros_like(named["clc"])
+                zfull = jnp.zeros_like(named["clc_i"])
             diags[n] = zfull
-    for n in ("fplsl", "fplsl_i", "fplsn", "fplsn_i"):
+    flux_keys = (
+        ("fplsl_i", "fplsn_i") if tangent_only
+        else ("fplsl", "fplsl_i", "fplsn", "fplsn_i")
+    )
+    for n in flux_keys:
         diags[n] = jnp.concatenate([zrow, named[n]], axis=cat_ax)
-    diags["fhpsl"] = -diags["fplsl"] * c.RLVTT
+    if not tangent_only:
+        diags["fhpsl"] = -diags["fplsl"] * c.RLVTT
+        diags["fhpsn"] = -diags["fplsn"] * c.RLSTT
     diags["fhpsl_i"] = -diags["fplsl_i"] * c.RLVTT
-    diags["fhpsn"] = -diags["fplsn"] * c.RLSTT
     diags["fhpsn_i"] = -diags["fplsn_i"] * c.RLSTT
     return tends, diags

@@ -737,6 +737,54 @@ def test_dispatch_pallas_tiled_boundary(f32_state_small):
             )
 
 
+def test_pallas_tl_ad_output_elision_bit_exact(f32_state_small):
+    """tangent_only TL / cotangent_only AD (round-5 stream-count lever):
+    the duplicate forward-output streams are dropped; every output that
+    remains equals the full kernels' to ~1 ulp (the reduced out-stream
+    set retraces the kernel, and XLA's FMA contraction can differ
+    between the two fusions — observed 7/55k elements at 1.6e-7 rel)."""
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+
+    s, dt, c = f32_state_small
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+    tt, dd = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128)
+    tt_o, dd_o = cloudsc2_tl_pallas(
+        s, dt, c, interpret=True, wb=128, tangent_only=True
+    )
+    assert set(tt_o) == {"t_i", "q_i", "ql_i", "qi_i"}
+    assert all(k.endswith("_i") for k in dd_o)
+    for got, ref in ((tt_o, tt), (dd_o, dd)):
+        for n in got:
+            np.testing.assert_allclose(
+                np.asarray(got[n]), np.asarray(ref[n]), rtol=5e-7,
+                atol=1e-9, err_msg=n,
+            )
+
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n] = tt[n]
+        s["tnd_" + n + "_i"] = tt[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = dd[n + "_i"]
+    at, ad = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    at_o, ad_o = cloudsc2_ad_pallas(
+        s, dt, c, interpret=True, wb=128, cotangent_only=True
+    )
+    assert set(at_o) == {"cml_t_i", "cml_q_i", "cml_ql_i", "cml_qi_i"}
+    assert all(k.endswith("_i") for k in ad_o)
+    for got, ref in ((at_o, at), (ad_o, ad)):
+        for n in got:
+            np.testing.assert_allclose(
+                np.asarray(got[n]), np.asarray(ref[n]), rtol=5e-7,
+                atol=1e-9, err_msg=n,
+            )
+
+    with pytest.raises(ValueError, match="traj_only requires"):
+        cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, traj_only=True)
+
+
 def test_pack_inputs_mixed_dtype_rejected():
     """pack_inputs groups must be dtype-uniform (ADVICE r4): jnp.stack on
     mixed dtypes would silently promote the packed stream instead of
