@@ -59,13 +59,27 @@ for n in DIAG_NAMES:
     state[n + "_i"] = dd[n + "_i"]
 state = {k: jax.device_put(v) for k, v in state.items()}
 
+# tiled-native variants (round 5): the chain state lives tiled
+from cloudsc2_tpu.pallas.levelscan import tile_field
+
+state_t = {
+    k: (tile_field(v, 512) if getattr(v, "ndim", 0) == 2 else v)
+    for k, v in state.items()
+}
+
 SCHEMES = {
     ("nl", "scan"): lambda st: cloudsc2_nl(st, dt, c),
     ("nl", "pallas"): lambda st: cloudsc2_nl_pallas(st, dt, c),
+    ("nl", "tiled"): lambda st: cloudsc2_nl_pallas(
+        st, dt, c, tile_layout=True, state_tiled=True),
     ("tl", "scan"): lambda st: cloudsc2_tl(st, dt, c),
     ("tl", "pallas"): lambda st: cloudsc2_tl_pallas(st, dt, c),
+    ("tl", "tiled"): lambda st: cloudsc2_tl_pallas(
+        st, dt, c, tile_layout=True, state_tiled=True, unroll=1),
     ("ad", "scan"): lambda st: cloudsc2_ad(st, dt, c),
     ("ad", "pallas"): lambda st: cloudsc2_ad_pallas(st, dt, c),
+    ("ad", "tiled"): lambda st: cloudsc2_ad_pallas(
+        st, dt, c, tile_layout=True, state_tiled=True),
 }
 
 
@@ -97,10 +111,11 @@ def main():
     keys = [k for k in SCHEMES if k[0] in schemes]
     live = []
     for key in keys:
+        st0 = state_t if key[1] == "tiled" else state
         try:
             t0 = time.time()
-            fetch(chain(state, SHORT, key))
-            fetch(chain(state, LONG, key))
+            fetch(chain(st0, SHORT, key))
+            fetch(chain(st0, LONG, key))
             print(json.dumps({"key": key, "compile_s": time.time() - t0}),
                   flush=True)
             live.append(key)
@@ -110,11 +125,12 @@ def main():
     per = {key: [] for key in live}
     for _ in range(SAMPLES):
         for key in live:  # interleaved: tunnel drift hits all keys equally
+            st0 = state_t if key[1] == "tiled" else state
             t0 = time.perf_counter()
-            fetch(chain(state, SHORT, key))
+            fetch(chain(st0, SHORT, key))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
-            fetch(chain(state, LONG, key))
+            fetch(chain(st0, LONG, key))
             tl = time.perf_counter() - t0
             per[key].append((tl - ts) / (LONG - SHORT))
     out = {}
@@ -128,6 +144,10 @@ def main():
         a, b = out.get((scheme, "pallas")), out.get((scheme, "scan"))
         if a and b:
             print(json.dumps({"scheme": scheme, "pallas_vs_scan": a / b}),
+                  flush=True)
+        t = out.get((scheme, "tiled"))
+        if t and b:
+            print(json.dumps({"scheme": scheme, "tiled_vs_scan": t / b}),
                   flush=True)
 
 

@@ -75,6 +75,22 @@ def chain_tl(st0, n, kb, tiled, t_only=False):
     return s["t"] + s["t_i"]
 
 
+@partial(jax.jit, static_argnames=("n", "kb", "resident"))
+def chain_ad_fused(st0, n, kb, resident):
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas_fused
+
+    def body(_, st):
+        tends, diags = cloudsc2_ad_pallas_fused(
+            st, dt, c, kb=kb, state_tiled=True, resident=resident,
+        )
+        st = dict(st)
+        eps = jnp.asarray(1e-30, st["t"].dtype)
+        st["t"] = st["t"] + eps * tends["t"] + eps * diags["t_i"]
+        return st
+
+    return jax.lax.fori_loop(0, n, body, dict(st0))["t"]
+
+
 @partial(jax.jit, static_argnames=("n", "kb", "fwd_kb", "tiled", "c_only"))
 def chain_ad(st0, n, kb, fwd_kb, tiled, c_only=False):
     def body(_, st):
@@ -108,10 +124,29 @@ for a in ARGS:
         if spec == "g":
             RUNNERS[a] = lambda n, to=t_only: chain_tl(state, n, None, False, to)
         else:
-            kb = int(spec)
-            RUNNERS[a] = lambda n, kb=kb, to=t_only: chain_tl(
-                state_t, n, kb, True, to
+            parts = [int(x) for x in spec.split(",")]
+            kb = parts[0]
+            twb = parts[1] if len(parts) > 1 else WB
+            st_v = (
+                state_t if twb == WB
+                else {k: (tile_field(v, twb) if v.ndim == 2 else v)
+                      for k, v in state.items()}
             )
+            RUNNERS[a] = lambda n, kb=kb, to=t_only, st=st_v: chain_tl(
+                st, n, kb, True, to
+            )
+    elif scheme in ("adf", "adfr"):
+        parts = [int(x) for x in spec.split(",")]
+        kb = parts[0]
+        fwb = parts[1] if len(parts) > 1 else WB
+        st_f = (
+            s_ad_t if fwb == WB
+            else {k: (tile_field(v, fwb) if v.ndim == 2 else v)
+                  for k, v in s_ad.items()}
+        )
+        RUNNERS[a] = lambda n, kb=kb, r=scheme == "adfr", st=st_f: (
+            chain_ad_fused(st, n, kb, r)
+        )
     else:
         c_only = scheme == "ado"
         if spec == "g":

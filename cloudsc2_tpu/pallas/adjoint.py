@@ -438,7 +438,10 @@ def _assemble(
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "c", "interpret", "kb", "wb", "unroll", "resident"),
+    static_argnames=(
+        "dt", "c", "interpret", "kb", "wb", "unroll", "resident",
+        "state_tiled",
+    ),
 )
 def cloudsc2_ad_pallas_fused(
     state: Dict[str, Array],
@@ -449,6 +452,7 @@ def cloudsc2_ad_pallas_fused(
     wb: int | None = None,
     unroll: int | None = None,
     resident: bool = False,
+    state_tiled: bool = False,
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Single-kernel adjoint: forward NL sweep + reverse transpose sweep
     fused into ONE ``pallas_call`` — the reference's execution shape (both
@@ -471,13 +475,29 @@ def cloudsc2_ad_pallas_fused(
     # than the two-kernel pipeline's (the twokernel default 8/512/1 crashes
     # the remote compiler when fused); 8/256/2 is its measured-best
     # compiling config (9.01M cols/s, parity with twokernel same-process)
-    kb = FUSED_KB if kb is None else kb
-    wb = FUSED_WB if wb is None else wb
-    unroll = FUSED_UNROLL if unroll is None else unroll
-    nlev, ncols = state["ap"].shape
+    if state_tiled:
+        # tiled-native fused path (round 5): rolled only; wb fixed by the
+        # tiled state; kb defaults to the two-kernel reverse default
+        kb = KB if kb is None else kb
+        unroll = 1 if unroll is None else unroll
+        if unroll != 1:
+            raise ValueError("state_tiled fused requires unroll=1")
+        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
+        wb_t = state["ap"].shape[3]
+        if wb is not None and wb != wb_t:
+            raise ValueError(f"wb={wb} conflicts with tiled state wb={wb_t}")
+        wb = wb_t
+        ncols = nj_t * 8 * wb_t
+    else:
+        kb = FUSED_KB if kb is None else kb
+        wb = FUSED_WB if wb is None else wb
+        unroll = FUSED_UNROLL if unroll is None else unroll
+        nlev, ncols = state["ap"].shape
     dtype = state["ap"].dtype
 
-    fwd, seeds, col_inputs, scalar_inputs = _reverse_problem(state, dt, c)
+    fwd, seeds, col_inputs, scalar_inputs = _reverse_problem(
+        state, dt, c, state_tiled=state_tiled
+    )
 
     from cloudsc2_tpu.physics.nonlinear import NLCarry, nl_level
 
@@ -510,12 +530,18 @@ def cloudsc2_ad_pallas_fused(
         wb=wb,
         unroll=unroll,
         resident=resident,
+        tiled=state_tiled,
         interpret=interpret,
     )
 
-    zrow = jnp.zeros((1, ncols), dtype)
-    fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=0)
-    fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=0)
+    if state_tiled:
+        zrow = jnp.zeros((nj_t, 1, 8, wb), dtype)
+        cat_ax = 1
+    else:
+        zrow = jnp.zeros((1, ncols), dtype)
+        cat_ax = 0
+    fplsl = jnp.concatenate([zrow, named["fplsl"]], axis=cat_ax)
+    fplsn = jnp.concatenate([zrow, named["fplsn"]], axis=cat_ax)
     tends_f = {n: named["tnd_" + n] for n in ("t", "q", "ql", "qi")}
     diags_f = {
         "clc": named["clc"],
@@ -525,4 +551,7 @@ def cloudsc2_ad_pallas_fused(
         "fhpsl": -fplsl * c.RLVTT,
         "fhpsn": -fplsn * c.RLSTT,
     }
-    return _assemble(named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap)
+    return _assemble(
+        named, tends_f, diags_f, nlev, ncols, dtype, dt, c, evap,
+        state_tiled=state_tiled,
+    )

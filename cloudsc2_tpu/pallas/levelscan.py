@@ -76,6 +76,7 @@ def level_scan_fwdrev_pallas(
     wb: int,
     unroll: int = 1,
     resident: bool = False,
+    tiled: bool = False,
     interpret: bool = False,
 ) -> Dict[str, Array]:
     """Fused forward + reverse level scan in ONE kernel — the adjoint's
@@ -119,7 +120,20 @@ def level_scan_fwdrev_pallas(
     ncarry_fwd = len(traj_names)
 
     sample = next(iter(level_inputs.values()))
-    nlev, ncols = sample.shape
+    if tiled:
+        # tiled-native: every level/seed input is (nj, L, 8, wb) and the
+        # outputs come back tiled (see level_scan_pallas tile_layout);
+        # rolled only — the padded layout would re-pad tiled streams
+        if unroll != 1:
+            raise ValueError("tiled fwdrev requires unroll=1 (rolled)")
+        if wb != sample.shape[3]:
+            raise ValueError(
+                f"wb={wb} conflicts with tiled inputs wb={sample.shape[3]}"
+            )
+        nlev = sample.shape[1]
+        ncols = sample.shape[0] * 8 * wb
+    else:
+        nlev, ncols = sample.shape
     dtype = sample.dtype
     if dtype == jnp.float64:
         raise ValueError(
@@ -173,18 +187,24 @@ def level_scan_fwdrev_pallas(
         def scalars_at(g):
             return {n: r[g, 0] for n, r in zip(scal_names, scal_refs)}
 
+        def _rd(r, row):
+            return r[0, row] if tiled else r[row]
+
         def fwd_step(row, carry):
-            x = {n: r[row] for n, r in zip(names, level_refs)}
+            x = {n: _rd(r, row) for n, r in zip(names, level_refs)}
             g = ar_kb * kb + row
             x.update(scalars_at(g))
             for j in range(ncarry_fwd):
                 traj_refs[j][g] = carry[j]
             if resident:
                 for r_in, r_res in zip(level_refs, res_refs):
-                    r_res[g] = r_in[row]
+                    r_res[g] = _rd(r_in, row)
             carry, outs = fwd_body(carry, x, col, g)
             for n, r in zip(fwd_out_names, fwd_out_refs):
-                r[row] = outs[n]
+                if tiled:
+                    r[0, row] = outs[n]
+                else:
+                    r[row] = outs[n]
             return carry
 
         def rev_step(row, cot):
@@ -192,15 +212,18 @@ def level_scan_fwdrev_pallas(
             if resident:
                 x = {n: r[g] for n, r in zip(names, res_refs)}
             else:
-                x = {n: r[row] for n, r in zip(names, level_refs)}
+                x = {n: _rd(r, row) for n, r in zip(names, level_refs)}
             for n, r in zip(seed_names, seed_refs):
-                x[n] = r[row]
+                x[n] = _rd(r, row)
             x.update(scalars_at(g))
             for j, n in enumerate(traj_names):
                 x[n] = traj_refs[j][g]
             cot, outs = rev_body(cot, x, col, g)
             for n, r in zip(rev_out_names, rev_out_refs):
-                r[row] = outs[n]
+                if tiled:
+                    r[0, row] = outs[n]
+                else:
+                    r[row] = outs[n]
             return cot
 
         # ---- forward phase ----
@@ -267,14 +290,44 @@ def level_scan_fwdrev_pallas(
     def fwd_ix(j, t):
         return (jnp.minimum(t, nkb - 1), 0, j)
 
-    level_spec = pl.BlockSpec((kb, 8, wb), level_ix, memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((kb, 8, wb), rev_ix, memory_space=pltpu.VMEM)
-    fwd_out_spec = pl.BlockSpec((kb, 8, wb), fwd_ix, memory_space=pltpu.VMEM)
-    rev_out_spec = pl.BlockSpec((kb, 8, wb), rev_ix, memory_space=pltpu.VMEM)
+    if tiled:
+        # tiled maps: array (nj, klev, 8, wb); the level coordinate is the
+        # original map's first coordinate, moved to axis 1
+        def tile_map(ix):
+            def m(j, t):
+                k0, _z, _j = ix(j, t)
+                return (j, k0, 0, 0)
+
+            return m
+
+        level_spec = pl.BlockSpec(
+            (1, kb, 8, wb), tile_map(level_ix), memory_space=pltpu.VMEM
+        )
+        seed_spec = pl.BlockSpec(
+            (1, kb, 8, wb), tile_map(rev_ix), memory_space=pltpu.VMEM
+        )
+        fwd_out_spec = pl.BlockSpec(
+            (1, kb, 8, wb), tile_map(fwd_ix), memory_space=pltpu.VMEM
+        )
+        rev_out_spec = pl.BlockSpec(
+            (1, kb, 8, wb), tile_map(rev_ix), memory_space=pltpu.VMEM
+        )
+    else:
+        level_spec = pl.BlockSpec((kb, 8, wb), level_ix, memory_space=pltpu.VMEM)
+        seed_spec = pl.BlockSpec((kb, 8, wb), rev_ix, memory_space=pltpu.VMEM)
+        fwd_out_spec = pl.BlockSpec((kb, 8, wb), fwd_ix, memory_space=pltpu.VMEM)
+        rev_out_spec = pl.BlockSpec((kb, 8, wb), rev_ix, memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((8, wb), lambda j, t: (0, j), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    if ragged:
+    if tiled:
+        ins = (
+            [scalar_inputs[n].astype(dtype).reshape(nlev, 1) for n in scal_names]
+            + [level_inputs[n] for n in names]
+            + [seed_inputs[n] for n in seed_names]
+            + [col_inputs[n].reshape(8, w) for n in col_names]
+        )
+    elif ragged:
         ins = (
             [scalar_inputs[n].astype(dtype).reshape(nlev, 1) for n in scal_names]
             + [level_inputs[n].reshape(nlev, 8, w) for n in names]
@@ -304,7 +357,9 @@ def level_scan_fwdrev_pallas(
         out_specs=[fwd_out_spec] * len(fwd_out_names)
         + [rev_out_spec] * len(rev_out_names),
         out_shape=[
-            jax.ShapeDtypeStruct((klev, 8, w), dtype)
+            jax.ShapeDtypeStruct(
+                (nj, klev, 8, wb) if tiled else (klev, 8, w), dtype
+            )
             for _ in fwd_out_names + rev_out_names
         ],
         scratch_shapes=scratch,
@@ -315,6 +370,8 @@ def level_scan_fwdrev_pallas(
     )(*ins)
 
     all_names = fwd_out_names + rev_out_names
+    if tiled:
+        return {n: o[:, :nlev] for n, o in zip(all_names, outs)}
     return {n: o.reshape(klev, ncols)[:nlev] for n, o in zip(all_names, outs)}
 
 

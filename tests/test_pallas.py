@@ -502,8 +502,14 @@ def test_cloudsc2_ad_component_warns_on_scan_fallback(f32_state_small):
 
 @pytest.mark.parametrize(
     "kw",
-    [dict(unroll=1), dict(unroll=2), dict(unroll=1, resident=True)],
-    ids=["rolled", "unroll2", "resident"],
+    [
+        dict(unroll=1),
+        dict(unroll=2),
+        dict(unroll=1, resident=True),
+        dict(unroll=1, state_tiled=True),
+        dict(unroll=1, resident=True, state_tiled=True),
+    ],
+    ids=["rolled", "unroll2", "resident", "tiled", "tiled-resident"],
 )
 def test_pallas_ad_fused_matches_two_kernel(f32_state_small, kw):
     """The fused single-kernel adjoint (forward NL sweep + reverse
@@ -530,7 +536,20 @@ def test_pallas_ad_fused_matches_two_kernel(f32_state_small, kw):
     for name in DIAG_NAMES:
         s[name + "_i"] = diags_tl[name + "_i"]
     t_ref, d_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
-    t_f, d_f = cloudsc2_ad_pallas_fused(s, dt, c, interpret=True, wb=128, **kw)
+    if kw.get("state_tiled"):
+        from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+
+        st = {
+            k: (tile_field(v, 128) if getattr(v, "ndim", 0) == 2 else v)
+            for k, v in s.items()
+        }
+        t_f, d_f = cloudsc2_ad_pallas_fused(st, dt, c, interpret=True, **kw)
+        t_f = {k: untile_field(v) for k, v in t_f.items()}
+        d_f = {k: untile_field(v) for k, v in d_f.items()}
+    else:
+        t_f, d_f = cloudsc2_ad_pallas_fused(
+            s, dt, c, interpret=True, wb=128, **kw
+        )
     for ref, got in ((t_ref, t_f), (d_ref, d_f)):
         for n in ref:
             np.testing.assert_array_equal(
