@@ -561,13 +561,10 @@ def certify_kernels(state, dt, c, s_tl, s_ad) -> str | None:
     # tiled storage, so certify the tiled kernels against the standard
     # ones on-chip too (interpret-mode bitwise tests cover CPU; threshold
     # 0 here would be right in principle — kept allclose for robustness)
-    from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+    from cloudsc2_tpu.pallas.levelscan import tile_state, untile_field
 
     def tiled_of(st):
-        return {
-            k: (tile_field(v, 512) if getattr(v, "ndim", 0) == 2 else v)
-            for k, v in st.items()
-        }
+        return tile_state(st, 512)
 
     def untiled(pair):
         return tuple(
@@ -675,13 +672,10 @@ def main() -> None:
     # --- timed chains run on tiled-native storage (round 5: the stream
     # layout was the large-batch bottleneck; tiled recovers NL 19.5->28M+,
     # TL +51%, AD +41% — certified against the standard layout above) ---
-    from cloudsc2_tpu.pallas.levelscan import tile_field
+    from cloudsc2_tpu.pallas.levelscan import tile_state
 
     def tiled_of(st):
-        return {
-            k: (tile_field(v, 512) if getattr(v, "ndim", 0) == 2 else v)
-            for k, v in st.items()
-        }
+        return tile_state(st, 512)
 
     # --- NL: the headline forward step (saturation + NL) ---
     t_nl = chain_seconds(chain_nl, tiled_of(state), dt, c, 64, 8)
@@ -761,8 +755,7 @@ def main() -> None:
     ad_vs_serial_body = ad_cols * ad_lat["crit_body_ops_per_col"] / serial_rate
     ad_vs_serial = ad_cols * ad_lat["crit_carry_ops_per_col"] / serial_rate
 
-    _emit(
-        {
+    result = {
             "metric": "nl_columns_per_sec",
             "value": nl_cols,
             "unit": "columns/s",
@@ -802,8 +795,15 @@ def main() -> None:
                 or not np.isfinite(serial_rate)
                 or vpu_rate < 2.0 * serial_rate
             ),
-        }
-    )
+    }
+    # a NaN anywhere (e.g. one all-negative-slope latency microbench while
+    # t_mul stayed finite) would make the single JSON line invalid for
+    # strict parsers (jq/JSON.parse) — null the field and flag the run
+    for k, v in list(result.items()):
+        if isinstance(v, float) and not np.isfinite(v):
+            result[k] = None
+            result["microbench_suspect"] = True
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -279,11 +279,11 @@ def _select_impl(impl: str, state: Mapping[str, Array]) -> str:
     """Resolve impl="auto": Pallas on an accelerator for f32 lane-aligned
     columns, ``lax.scan`` otherwise (CPU, f64, ragged columns); the shared
     predicate is :func:`cloudsc2_tpu.dispatch.use_pallas`."""
-    from cloudsc2_tpu.dispatch import use_pallas
+    from cloudsc2_tpu.dispatch import PALLAS_IMPLS, use_pallas
 
-    if impl == "pallas" and state["ap"].dtype != jnp.float32:
+    if impl in PALLAS_IMPLS and state["ap"].dtype != jnp.float32:
         raise ValueError(
-            "impl='pallas' requires single precision (TPU Mosaic has no "
+            f"impl={impl!r} requires single precision (TPU Mosaic has no "
             "f64); use --precision single or impl='scan' (the f64 oracle)"
         )
     if impl != "auto":
@@ -310,14 +310,12 @@ class Cloudsc2NL(Component):
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         state = self._check_state(state)
         impl = _select_impl(self.impl, state)
-        if impl in ("pallas", "pallas-interpret"):
-            from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
+        from cloudsc2_tpu.dispatch import nl_tl_fns
 
-            return cloudsc2_nl_pallas(
-                state, timestep, self.constants,
-                interpret=impl == "pallas-interpret",
-            )
-        return cloudsc2_nl(state, timestep, self.constants)
+        # single dispatch home (dispatch.nl_tl_fns) so every impl the
+        # drivers expose — incl. "pallas-tiled" — resolves identically
+        # here and in the protocol objects (no silent scan fallback)
+        return nl_tl_fns(impl)[0](state, timestep, self.constants)
 
 
 class Cloudsc2TL(Component):
@@ -345,14 +343,9 @@ class Cloudsc2TL(Component):
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         state = self._check_state(state)
         impl = _select_impl(self.impl, state)
-        if impl in ("pallas", "pallas-interpret"):
-            from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+        from cloudsc2_tpu.dispatch import nl_tl_fns
 
-            return cloudsc2_tl_pallas(
-                state, timestep, self.constants,
-                interpret=impl == "pallas-interpret",
-            )
-        return cloudsc2_tl(state, timestep, self.constants)
+        return nl_tl_fns(impl)[1](state, timestep, self.constants)
 
 
 class Cloudsc2AD(Component):
@@ -412,13 +405,11 @@ class Cloudsc2AD(Component):
         state = self._check_state(state)
         impl = _select_impl(self.impl, state)
         c = self.constants
-        if impl in ("pallas", "pallas-interpret"):
-            if c.LPHYLIN:
-                from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+        from cloudsc2_tpu.dispatch import PALLAS_IMPLS, tl_ad_fns
 
-                return cloudsc2_ad_pallas(
-                    state, timestep, c, interpret=impl == "pallas-interpret"
-                )
+        if impl in PALLAS_IMPLS:
+            if c.LPHYLIN:
+                return tl_ad_fns(impl)[1](state, timestep, c)
             import warnings
 
             warnings.warn(

@@ -59,7 +59,7 @@ def _tiled_boundary(fn: Callable) -> Callable:
     """Wrap a state_tiled kernel entry as a standard-layout function:
     tile the 2-D fields at entry, untile every output dict at exit.
     Bitwise-identical outputs (asserted by the layout tests)."""
-    from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+    from cloudsc2_tpu.pallas.levelscan import tile_state, untile_field
     from cloudsc2_tpu.pallas.nonlinear import WB
 
     def wrapped(state, dt, c, **kw):
@@ -71,10 +71,7 @@ def _tiled_boundary(fn: Callable) -> Callable:
             raise ValueError(
                 f"pallas-tiled needs ncols % 1024 == 0 (got {w * 8})"
             )
-        st = {
-            k: (tile_field(v, wb) if getattr(v, "ndim", 0) == 2 else v)
-            for k, v in state.items()
-        }
+        st = tile_state(state, wb)
         out = fn(st, dt, c, tile_layout=True, state_tiled=True, **kw)
         return tuple(
             {k: untile_field(v) for k, v in d.items()} for d in out

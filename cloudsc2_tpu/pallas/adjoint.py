@@ -52,6 +52,7 @@ from cloudsc2_tpu.physics.nonlinear import (
     critical_rh_coeffs,
     scalm_profile,
     tropopause_eta,
+    tropopause_eta_tiled,
 )
 from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics.tangent_linear import TLCarry, tl_level
@@ -171,12 +172,9 @@ def cloudsc2_ad_pallas(
                 "state_tiled requires rolled kernels (unroll=1): the "
                 "padded layouts would re-pad the tiled streams per call"
             )
-        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
-        wb_t = state["ap"].shape[3]
-        if wb is not None and wb != wb_t:
-            raise ValueError(f"wb={wb} conflicts with tiled state wb={wb_t}")
-        wb = wb_t
-        ncols = nj_t * 8 * wb_t
+        from cloudsc2_tpu.pallas.levelscan import _check_tiled_state
+
+        _nj_t, nlev, wb, ncols = _check_tiled_state(state["ap"], wb)
     else:
         wb = WB if wb is None else wb
         nlev, ncols = state["ap"].shape
@@ -269,21 +267,13 @@ def _reverse_problem(state, dt: float, c: Constants, state_tiled: bool = False):
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     lu = state["lu"]
     if state_tiled:
-        nlev = state["ap"].shape[1]
         aph = state["aph"]
         dp = aph[:, 1:] - aph[:, :-1]
         aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
         lu_next = jnp.concatenate(
             [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
         )
-        window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
-        mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
-        ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
-        best = jnp.max(jnp.where(mask, ks, -1), axis=1)
-        trp_t = jnp.where(
-            best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, dtype)
-        )
-        trpaus = trp_t.transpose(1, 0, 2).reshape(-1)
+        trpaus = tropopause_eta_tiled(eta, t_fg)
         iface = lambda v: v[:, 1:]  # noqa: E731 — interface rows 1..nlev
     else:
         dp = state["aph"][1:] - state["aph"][:-1]
@@ -482,12 +472,9 @@ def cloudsc2_ad_pallas_fused(
         unroll = 1 if unroll is None else unroll
         if unroll != 1:
             raise ValueError("state_tiled fused requires unroll=1")
-        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
-        wb_t = state["ap"].shape[3]
-        if wb is not None and wb != wb_t:
-            raise ValueError(f"wb={wb} conflicts with tiled state wb={wb_t}")
-        wb = wb_t
-        ncols = nj_t * 8 * wb_t
+        from cloudsc2_tpu.pallas.levelscan import _check_tiled_state
+
+        nj_t, nlev, wb, ncols = _check_tiled_state(state["ap"], wb)
     else:
         kb = FUSED_KB if kb is None else kb
         wb = FUSED_WB if wb is None else wb

@@ -60,6 +60,30 @@ def untile_field(v: Array) -> Array:
     return v.transpose(1, 2, 0, 3).reshape(h, 8 * nj * wb)
 
 
+def tile_state(state: Dict[str, Array], wb: int = 512) -> Dict[str, Array]:
+    """Tile every 2-D ``(L, ncols)`` field of a state dict
+    (:func:`tile_field`); 1-D per-level fields (``eta``) and scalars pass
+    through.  The single home for the whole-state conversion used by the
+    bench chains, drivers, dispatch boundary and sweeps."""
+    return {
+        k: (tile_field(v, wb) if getattr(v, "ndim", 0) == 2 else v)
+        for k, v in state.items()
+    }
+
+
+def _check_tiled_state(ap: Array, wb, what: str = "state"):
+    """Shared (nj, L, 8, wb) validation for the kernel wrappers'
+    ``state_tiled`` mode; returns ``(nj, nlev, wb, ncols)``."""
+    if ap.ndim != 4 or ap.shape[2] != 8:
+        raise ValueError(
+            f"tiled {what} fields must be (nj, L, 8, wb); got {ap.shape}"
+        )
+    nj, nlev, _, wb_t = ap.shape
+    if wb is not None and wb != wb_t:
+        raise ValueError(f"wb={wb} conflicts with tiled {what} wb={wb_t}")
+    return nj, nlev, wb_t, nj * 8 * wb_t
+
+
 def level_scan_fwdrev_pallas(
     fwd_body: Callable,
     rev_body: Callable,

@@ -33,6 +33,7 @@ from cloudsc2_tpu.physics.nonlinear import (
     nl_level_pre,
     scalm_profile,
     tropopause_eta,
+    tropopause_eta_tiled,
 )
 
 Array = jnp.ndarray
@@ -145,18 +146,11 @@ def cloudsc2_nl_pallas(
                 "state_tiled is incompatible with "
                 "xla_pre/split/pipeline/pack/interleave"
             )
-        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
-        wb_t = state["ap"].shape[3]
-        if wb is not None and wb != wb_t:
-            raise ValueError(
-                f"wb={wb} conflicts with tiled state wb={wb_t}"
-            )
-        wb = wb_t
-        ncols = nj_t * 8 * wb_t
-        lev_ax = 1
+        from cloudsc2_tpu.pallas.levelscan import _check_tiled_state
+
+        nj_t, nlev, wb, ncols = _check_tiled_state(state["ap"], wb)
     else:
         nlev, ncols = state["ap"].shape
-        lev_ax = 0
     dtype = state["ap"].dtype
 
     eta = state["eta"].astype(dtype)
@@ -170,15 +164,7 @@ def cloudsc2_nl_pallas(
         lu_next = jnp.concatenate(
             [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
         )
-        # tropopause search on the tiled level axis
-        window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
-        mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
-        ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
-        best = jnp.max(jnp.where(mask, ks, -1), axis=1)
-        trp_t = jnp.where(
-            best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, dtype)
-        )
-        trpaus = trp_t.transpose(1, 0, 2).reshape(-1)
+        trpaus = tropopause_eta_tiled(eta, t_fg)
     else:
         dp = state["aph"][1:] - state["aph"][:-1]
         aph_s = state["aph"][-1]

@@ -28,6 +28,7 @@ from cloudsc2_tpu.physics.nonlinear import (
     critical_rh_coeffs,
     scalm_profile,
     tropopause_eta,
+    tropopause_eta_tiled,
 )
 from cloudsc2_tpu.physics.tangent_linear import (
     TLCarry,
@@ -89,18 +90,15 @@ def cloudsc2_tl_pallas(
     ``tile_layout``/``state_tiled``: tile-contiguous streams / tiled-native
     state, as on :func:`cloudsc2_tpu.pallas.nonlinear.cloudsc2_nl_pallas`
     (the most stream-bound kernel benefits most — see
-    ``benchmarks/sweep_tl_tiled.py``)."""
+    ``benchmarks/sweep_tl_ad_tiled.py``)."""
     if state_tiled:
         if not tile_layout:
             raise ValueError("state_tiled requires tile_layout=True")
         if split:
             raise ValueError("state_tiled is incompatible with split")
-        nj_t, nlev = state["ap"].shape[0], state["ap"].shape[1]
-        wb_t = state["ap"].shape[3]
-        if wb is not None and wb != wb_t:
-            raise ValueError(f"wb={wb} conflicts with tiled state wb={wb_t}")
-        wb = wb_t
-        ncols = nj_t * 8 * wb_t
+        from cloudsc2_tpu.pallas.levelscan import _check_tiled_state
+
+        nj_t, nlev, wb, ncols = _check_tiled_state(state["ap"], wb)
     else:
         nlev, ncols = state["ap"].shape
     if tile_layout and split:
@@ -123,14 +121,7 @@ def cloudsc2_tl_pallas(
         lu_next_i = jnp.concatenate(
             [lu_i[:, 1:], jnp.zeros_like(lu_i[:, :1])], axis=1
         )
-        window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
-        mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
-        ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
-        best = jnp.max(jnp.where(mask, ks, -1), axis=1)
-        trp_t = jnp.where(
-            best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, dtype)
-        )
-        trpaus = trp_t.transpose(1, 0, 2).reshape(-1)
+        trpaus = tropopause_eta_tiled(eta, t_fg)
     else:
         dp = state["aph"][1:] - state["aph"][:-1]
         dp_i = state["aph_i"][1:] - state["aph_i"][:-1]

@@ -70,6 +70,24 @@ def tropopause_eta(eta: Array, t_fg: Array) -> Array:
     return jnp.where(best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, eta.dtype))
 
 
+def tropopause_eta_tiled(eta: Array, t_fg: Array) -> Array:
+    """:func:`tropopause_eta` on tiled-native storage: ``t_fg`` is
+    ``(nj, nlev, 8, wb)`` (level axis 1), ``eta`` is ``(nlev,)``; returns
+    the per-column tropopause eta flattened to global column order
+    ``(ncols,)`` (tile j covers lanes ``j*wb..(j+1)*wb`` of the
+    ``(8, w)`` view, so the flatten is a pure transpose).  One shared
+    definition for the NL/TL/AD tiled wrappers."""
+    nlev = t_fg.shape[1]
+    window = (eta[:-1] > 0.1) & (eta[:-1] < 0.4)
+    mask = window[None, :, None, None] & (t_fg[:, :-1] > t_fg[:, 1:])
+    ks = jnp.arange(nlev - 1, dtype=jnp.int32)[None, :, None, None]
+    best = jnp.max(jnp.where(mask, ks, -1), axis=1)
+    trp = jnp.where(
+        best >= 0, eta[jnp.maximum(best, 0)], jnp.asarray(0.1, t_fg.dtype)
+    )
+    return trp.transpose(1, 0, 2).reshape(-1)
+
+
 def scalm_profile(eta: Array, c: Constants) -> Array:
     """The scheme's vertical scaling profile ZSCAL*max(eta-0.2, ZEPS1)**0.2
     (reference ``cloudsc2.py:163``) — one definition shared by the scan path

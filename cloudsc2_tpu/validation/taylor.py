@@ -92,10 +92,12 @@ class TaylorTest:
     #: mode.  The adapted machine above is the shipped verdict; this gate
     #: keeps regressions toward the relaxation boundary visible (a change
     #: that only the relaxations absorb moves the strict fraction first).
-    #: Default 0.5 is far below the measured healthy value (76% of f64
-    #: synth columns, docs/ROUND4.md §5) but far above a broken TL (~0%:
-    #: a wrong TL's ratio never converges to 1, scoring 13 everywhere).
-    #: The achieved value is stored in :attr:`strict_fraction`.
+    #: Default 0.5 is below the measured healthy values in BOTH shipped
+    #: configurations — 76% of f64 synth columns (docs/ROUND4.md §5) and
+    #: 65.1% (2665/4096) on the compiled f32 TPU per-column run
+    #: (round 5) — but far above a broken TL (~0%: a wrong TL's ratio
+    #: never converges to 1, scoring 13 everywhere).  The achieved value
+    #: is stored in :attr:`strict_fraction`.
     min_strict_fraction: float = 0.5
     strict_fraction: float = field(default=None, repr=False)  # type: ignore[assignment]
     #: optional column mesh: runs the NL/TL schemes column-sharded under

@@ -183,14 +183,11 @@ def core(config, io_config, impl="auto"):
             )
         from functools import partial as _partial
 
-        from cloudsc2_tpu.pallas.levelscan import tile_field, untile_field
+        from cloudsc2_tpu.pallas.levelscan import tile_state, untile_field
         from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
         from cloudsc2_tpu.physics.saturation import saturation as sat_fn
 
-        state_t = {
-            k: (tile_field(v, 512) if v.ndim == 2 else v)
-            for k, v in state.items()
-        }
+        state_t = tile_state(state, 512)
 
         @_partial(jax.jit, static_argnames=())
         def _tiled_step(s):

@@ -88,6 +88,21 @@ def test_tl_ad_census():
         assert d["crit_carry_ops_per_col"] < d["crit_body_ops_per_col"]
 
 
+def test_component_pallas_tiled_never_silently_falls_back(state_with_qsat, constants):
+    """Regression (round-5 review): impl="pallas-tiled" must route through
+    the kernel dispatch family, never silently degrade to lax.scan — an
+    ineligible state (f64 here) raises instead of producing scan results
+    under a pallas-tiled label."""
+    import pytest
+
+    from cloudsc2_tpu.components import Cloudsc2NL
+
+    grid, state, dt = state_with_qsat
+    comp = Cloudsc2NL(grid, constants, impl="pallas-tiled")
+    with pytest.raises(ValueError, match="single precision"):
+        comp(state, dt)
+
+
 def test_csv_writers(tmp_path):
     f = str(tmp_path / "perf.csv")
     for _ in range(2):
