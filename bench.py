@@ -94,7 +94,7 @@ def bytes_per_column(nlev: int, itemsize: int) -> int:
 
 
 def _microbench_step_seconds(step_fn, shape, long_n, short_n, reps,
-                             samples_n=7) -> float:
+                             samples_n=7, n_meas=1):
     """Median seconds per dependent chain step of ``v = step_fn(v)``
     unrolled ``n`` times inside a ``fori_loop`` over ``reps``; the
     long/short chain slope isolates op time from the HBM round trip and
@@ -117,21 +117,31 @@ def _microbench_step_seconds(step_fn, shape, long_n, short_n, reps,
     x0 = jnp.full(shape, 1.2345, jnp.float32)
     float(chain(x0, short_n)[0, 0])
     float(chain(x0, long_n)[0, 0])
-    samples = []
-    for _ in range(samples_n):
-        t0 = time.perf_counter()
-        float(chain(x0, short_n)[0, 0])
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chain(x0, long_n)[0, 0])
-        tl = time.perf_counter() - t0
-        samples.append((tl - ts) / (long_n - short_n) / reps)
-    # tunnel jitter can exceed the chain-difference compute on a bad day
-    # (observed 2026-08-20: NEGATIVE slopes → nonsense denominators in two
-    # consecutive runs); a negative sample is physically impossible, so
-    # drop them before the median rather than let them drag it
-    pos = [s for s in samples if s > 0]
-    return float(np.median(pos)) if pos else float("nan")
+
+    def one_measurement():
+        samples = []
+        for _ in range(samples_n):
+            t0 = time.perf_counter()
+            float(chain(x0, short_n)[0, 0])
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(chain(x0, long_n)[0, 0])
+            tl = time.perf_counter() - t0
+            samples.append((tl - ts) / (long_n - short_n) / reps)
+        # tunnel jitter can exceed the chain-difference compute on a bad
+        # day (observed 2026-08-20: NEGATIVE slopes → nonsense
+        # denominators in two consecutive runs); a negative sample is
+        # physically impossible, so drop them before the median rather
+        # than let them drag it
+        pos = [s for s in samples if s > 0]
+        return float(np.median(pos)) if pos else float("nan")
+
+    # n_meas > 1: independent median-of-samples_n measurements sharing the
+    # ONE compiled chain (review r5: a fresh closure per measurement paid
+    # a re-trace round trip over the tunnel each time)
+    if n_meas == 1:
+        return one_measurement()
+    return [one_measurement() for _ in range(n_meas)]
 
 
 def _logistic_chain_rate(shape, long_n, short_n, reps) -> float:
@@ -156,6 +166,18 @@ def measure_vpu_op_rate() -> float:
     jitter (round-5 hardening: the previous ~2 ms difference produced
     negative slopes on a jittery day)."""
     return _logistic_chain_rate((137, 65536), 352, 32, 32)
+
+
+def measure_vpu_op_rates(n_meas: int = 3) -> list:
+    """``n_meas`` independent median-of-7 VPU-rate measurements sharing
+    ONE compiled chain (review r5: re-tracing a fresh closure per
+    measurement paid 3 compile round trips over the tunnel)."""
+    shape, long_n, short_n, reps = (137, 65536), 352, 32, 32
+    n_elems = shape[0] * shape[1]
+    per_steps = _microbench_step_seconds(
+        lambda v: v * (2.0 - v), shape, long_n, short_n, reps, n_meas=n_meas
+    )
+    return [2.0 * n_elems / t for t in per_steps]
 
 
 #: 2-op dependent chain steps for the serial-latency model — numerically
@@ -265,6 +287,14 @@ def chain_seconds(chain, state, dt, c, long_n, short_n) -> float:
         if med < _MIN_STEP_S:
             _SUSPECT.append(name)
     return med
+
+
+def _tiled_of(st):
+    """Bench-shape tiled-native conversion (wb=512) — one home for the
+    certify and chain call sites."""
+    from cloudsc2_tpu.pallas.levelscan import tile_state
+
+    return tile_state(st, 512)
 
 
 def _tiled(state) -> bool:
@@ -561,10 +591,9 @@ def certify_kernels(state, dt, c, s_tl, s_ad) -> str | None:
     # tiled storage, so certify the tiled kernels against the standard
     # ones on-chip too (interpret-mode bitwise tests cover CPU; threshold
     # 0 here would be right in principle — kept allclose for robustness)
-    from cloudsc2_tpu.pallas.levelscan import tile_state, untile_field
+    from cloudsc2_tpu.pallas.levelscan import untile_field
 
-    def tiled_of(st):
-        return tile_state(st, 512)
+    tiled_of = _tiled_of
 
     def untiled(pair):
         return tuple(
@@ -672,10 +701,7 @@ def main() -> None:
     # --- timed chains run on tiled-native storage (round 5: the stream
     # layout was the large-batch bottleneck; tiled recovers NL 19.5->28M+,
     # TL +51%, AD +41% — certified against the standard layout above) ---
-    from cloudsc2_tpu.pallas.levelscan import tile_state
-
-    def tiled_of(st):
-        return tile_state(st, 512)
+    tiled_of = _tiled_of
 
     # --- NL: the headline forward step (saturation + NL) ---
     t_nl = chain_seconds(chain_nl, tiled_of(state), dt, c, 64, 8)
@@ -722,7 +748,7 @@ def main() -> None:
     # (recorded swings 6.2e12-1.5e13 across processes, ±40% — VERDICT r4
     # weak #4): median three in-process measurements and carry the spread
     # in-band so a drifted denominator is visible in the JSON itself
-    vpu_samples = [measure_vpu_op_rate() for _ in range(3)]
+    vpu_samples = measure_vpu_op_rates(3)
     vpu_rate = float(np.median(vpu_samples))
     vpu_spread = float(max(vpu_samples) / min(vpu_samples))
     vs_compute = nl_cols * ops["issue_ops_per_col"] / vpu_rate

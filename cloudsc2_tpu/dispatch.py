@@ -65,11 +65,15 @@ def _tiled_boundary(fn: Callable) -> Callable:
     def wrapped(state, dt, c, **kw):
         # widest lane tile that divides the column count (the kernels
         # accept any wb multiple of 128; 512 is the measured best)
-        w = state["ap"].shape[1] // 8
-        wb = next((d for d in (WB, 256, 128) if w % d == 0), None)
+        ncols = state["ap"].shape[1]
+        w = ncols // 8
+        wb = (
+            None if ncols % 8
+            else next((d for d in (WB, 256, 128) if w % d == 0), None)
+        )
         if wb is None:
             raise ValueError(
-                f"pallas-tiled needs ncols % 1024 == 0 (got {w * 8})"
+                f"pallas-tiled needs ncols % 1024 == 0 (got {ncols})"
             )
         st = tile_state(state, wb)
         out = fn(st, dt, c, tile_layout=True, state_tiled=True, **kw)

@@ -51,6 +51,7 @@ from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 from cloudsc2_tpu.physics.nonlinear import (
     critical_rh_coeffs,
     scalm_profile,
+    tiled_stream_geometry,
     tropopause_eta,
     tropopause_eta_tiled,
 )
@@ -267,12 +268,7 @@ def _reverse_problem(state, dt: float, c: Constants, state_tiled: bool = False):
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     lu = state["lu"]
     if state_tiled:
-        aph = state["aph"]
-        dp = aph[:, 1:] - aph[:, :-1]
-        aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
-        lu_next = jnp.concatenate(
-            [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
-        )
+        dp, aph_s, lu_next = tiled_stream_geometry(state["aph"], lu)
         trpaus = tropopause_eta_tiled(eta, t_fg)
         iface = lambda v: v[:, 1:]  # noqa: E731 — interface rows 1..nlev
     else:

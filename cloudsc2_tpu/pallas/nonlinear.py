@@ -32,6 +32,7 @@ from cloudsc2_tpu.physics.nonlinear import (
     nl_level_post,
     nl_level_pre,
     scalm_profile,
+    tiled_stream_geometry,
     tropopause_eta,
     tropopause_eta_tiled,
 )
@@ -158,12 +159,7 @@ def cloudsc2_nl_pallas(
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     lu = state["lu"]
     if state_tiled:
-        aph = state["aph"]
-        dp = aph[:, 1:] - aph[:, :-1]
-        aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
-        lu_next = jnp.concatenate(
-            [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
-        )
+        dp, aph_s, lu_next = tiled_stream_geometry(state["aph"], lu)
         trpaus = tropopause_eta_tiled(eta, t_fg)
     else:
         dp = state["aph"][1:] - state["aph"][:-1]

@@ -27,6 +27,7 @@ from cloudsc2_tpu.params import Constants
 from cloudsc2_tpu.physics.nonlinear import (
     critical_rh_coeffs,
     scalm_profile,
+    tiled_stream_geometry,
     tropopause_eta,
     tropopause_eta_tiled,
 )
@@ -110,16 +111,9 @@ def cloudsc2_tl_pallas(
     t_fg = state["t"] + dt * state["tnd_cml_t"]
     lu, lu_i = state["lu"], state["lu_i"]
     if state_tiled:
-        aph, aph_i = state["aph"], state["aph_i"]
-        dp = aph[:, 1:] - aph[:, :-1]
-        dp_i = aph_i[:, 1:] - aph_i[:, :-1]
-        aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
-        aph_s_i = aph_i[:, -1].transpose(1, 0, 2).reshape(-1)
-        lu_next = jnp.concatenate(
-            [lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1
-        )
-        lu_next_i = jnp.concatenate(
-            [lu_i[:, 1:], jnp.zeros_like(lu_i[:, :1])], axis=1
+        dp, aph_s, lu_next = tiled_stream_geometry(state["aph"], lu)
+        dp_i, aph_s_i, lu_next_i = tiled_stream_geometry(
+            state["aph_i"], lu_i
         )
         trpaus = tropopause_eta_tiled(eta, t_fg)
     else:

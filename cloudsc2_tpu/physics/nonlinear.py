@@ -88,6 +88,18 @@ def tropopause_eta_tiled(eta: Array, t_fg: Array) -> Array:
     return trp.transpose(1, 0, 2).reshape(-1)
 
 
+def tiled_stream_geometry(aph: Array, lu: Array):
+    """The axis-1 slicing triple shared by every tiled kernel wrapper:
+    ``dp`` (interface-pressure differences), ``aph_s`` (surface pressure,
+    flattened to global column order), ``lu_next`` (one-level lookahead,
+    zero at the bottom).  Works identically for the value fields and
+    their ``_i`` perturbation twins (pass ``aph_i, lu_i``)."""
+    dp = aph[:, 1:] - aph[:, :-1]
+    aph_s = aph[:, -1].transpose(1, 0, 2).reshape(-1)
+    lu_next = jnp.concatenate([lu[:, 1:], jnp.zeros_like(lu[:, :1])], axis=1)
+    return dp, aph_s, lu_next
+
+
 def scalm_profile(eta: Array, c: Constants) -> Array:
     """The scheme's vertical scaling profile ZSCAL*max(eta-0.2, ZEPS1)**0.2
     (reference ``cloudsc2.py:163``) — one definition shared by the scan path

@@ -171,8 +171,15 @@ def core(config, io_config, impl="auto"):
             raise click.UsageError(
                 "--layout tiled is a single-chip resident mode"
             )
-        if impl not in ("pallas", "pallas-interpret"):
-            raise click.UsageError("--layout tiled requires --impl pallas")
+        if impl not in ("pallas", "pallas-tiled", "pallas-interpret"):
+            raise click.UsageError(
+                "--layout tiled requires the Pallas kernels: use --impl "
+                "pallas (or pallas-interpret on CPU).  (--impl pallas-tiled "
+                "alone, without --layout, is the boundary-relayout form for "
+                "the validation protocols; with --layout tiled the state "
+                "stays tiled across the whole timed loop, which is the "
+                "fast path — both are accepted here.)"
+            )
         if config.precision != "single":
             raise click.UsageError(
                 "--layout tiled requires --precision single (Pallas path)"

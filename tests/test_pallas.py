@@ -804,6 +804,70 @@ def test_pallas_tl_ad_output_elision_bit_exact(f32_state_small):
         cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, traj_only=True)
 
 
+def test_pallas_tiled_evaporation_branch_bit_exact(f32_state_small):
+    """state_tiled with the precipitation-evaporation branch COMPILED IN
+    (LDRAIN1D=True): pins the evap-specific tiled plumbing that the
+    evap-off tests never touch — the aph_s lane flattening consumed by
+    the in-branch sqrt(ap/aph_s), the live c_cov trajectory stream, the
+    s_covptot_i seed, and the AD's tiled staggered surface-pressure
+    cotangent (aph_i[:, -1] accumulation in _assemble).  Review r5
+    finding: previously verified only by hand."""
+    from cloudsc2_tpu.physics.increment import state_increment
+    from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
+    from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
+    from cloudsc2_tpu.pallas.levelscan import tile_state, untile_field
+
+    s, dt, c0 = f32_state_small
+    c = c0.replace(LDRAIN1D=True)
+    s = dict(s)
+    s.update(state_increment(s, 0.01, ignore_supsat=True))
+
+    ref = cloudsc2_nl_pallas(s, dt, c, interpret=True, wb=128, unroll=1)
+    got = cloudsc2_nl_pallas(
+        tile_state(s, 128), dt, c, interpret=True, tile_layout=True,
+        state_tiled=True,
+    )
+    # the branch must actually fire for this test to mean anything
+    assert (np.asarray(ref[1]["covptot"]) != 0).any()
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(untile_field(g_d[n])), np.asarray(r_d[n]),
+                err_msg="nl:" + n,
+            )
+
+    tt, dd = cloudsc2_tl_pallas(s, dt, c, interpret=True, wb=128, unroll=1)
+    got = cloudsc2_tl_pallas(
+        tile_state(s, 128), dt, c, interpret=True, tile_layout=True,
+        state_tiled=True, unroll=1,
+    )
+    for r_d, g_d in zip((tt, dd), got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(untile_field(g_d[n])), np.asarray(r_d[n]),
+                err_msg="tl:" + n,
+            )
+
+    for n in ("t", "q", "ql", "qi"):
+        s["tnd_" + n] = tt[n]
+        s["tnd_" + n + "_i"] = tt[n + "_i"]
+    for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
+        s[n + "_i"] = dd[n + "_i"]
+    ad_ref = cloudsc2_ad_pallas(s, dt, c, interpret=True, wb=128)
+    ad_got = cloudsc2_ad_pallas(
+        tile_state(s, 128), dt, c, interpret=True, tile_layout=True,
+        state_tiled=True,
+    )
+    # the staggered surface-pressure cotangent path must be live
+    assert (np.asarray(ad_ref[1]["aph_i"])[-1] != 0).any()
+    for r_d, g_d in zip(ad_ref, ad_got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(untile_field(g_d[n])), np.asarray(r_d[n]),
+                err_msg="ad:" + n,
+            )
+
+
 def test_pack_inputs_mixed_dtype_rejected():
     """pack_inputs groups must be dtype-uniform (ADVICE r4): jnp.stack on
     mixed dtypes would silently promote the packed stream instead of

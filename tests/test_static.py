@@ -90,7 +90,13 @@ def test_mypy_clean_when_available():
     """Run mypy over the configured scope (pyproject [tool.mypy]) and
     require a clean exit.  Skips — visibly, with the environment blocker —
     when mypy is not installed; on any machine with mypy this test makes
-    the config real (VERDICT r4 next #7)."""
+    the config real (VERDICT r4 next #7).
+
+    NOTE for the first machine that has mypy: the scope has never been
+    type-checked (mypy is uninstallable here), so a red first run is the
+    INTENDED signal — fix the reported errors (or consciously narrow the
+    ``[tool.mypy]`` scope in pyproject.toml); do not delete this test,
+    which exists precisely so the config cannot stay decorative."""
     try:
         import mypy  # noqa: F401
     except ImportError:
