@@ -316,12 +316,15 @@ def chain_nl(state, n, dt, c):
         if _tiled(s):
             from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 
-            s2 = dict(s)
-            s2["qsat"] = saturation(
-                s2["ap"], s2["t"], kflag=1, lphylin=c.LPHYLIN, c=c
-            )
+            # fuse_saturation: under tiled storage the round-1 negative
+            # FLIPPED — computing qsat in-kernel beats the XLA pass by
+            # +5-12% (2 processes, 31.3-32.2M; the XLA pass's ~100 MB/step
+            # of qsat traffic costs more than the in-kernel exp chain at
+            # the serial wall).  The timed unit is unchanged: saturation +
+            # NL, now in the reference's own single-stencil hot-loop shape
             tends, _diags = cloudsc2_nl_pallas(
-                s2, dt, c, tile_layout=True, state_tiled=True
+                s, dt, c, tile_layout=True, state_tiled=True,
+                fuse_saturation=True,
             )
         else:
             tends, _diags = forward_step(s, dt, c)
@@ -605,12 +608,12 @@ def certify_kernels(state, dt, c, s_tl, s_ad) -> str | None:
 
     @partial(jax.jit, static_argnames=("dt", "c"))
     def nl_tiled_step(st, dt, c):
-        s2 = dict(st)
-        s2["qsat"] = saturation(
-            s2["ap"], s2["t"], kflag=1, lphylin=c.LPHYLIN, c=c
-        )
+        # fused form: exactly the kernel the NL chain times (qsat computed
+        # in-kernel; the wrapper keeps the saturation division
+        # bit-identical to the unfused path)
         return cloudsc2_nl_pallas(
-            s2, dt, c, tile_layout=True, state_tiled=True
+            st, dt, c, tile_layout=True, state_tiled=True,
+            fuse_saturation=True,
         )
 
     nl_t = jax.device_get(nl_tiled_step(tiled_of(state), dt, c))

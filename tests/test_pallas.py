@@ -868,6 +868,34 @@ def test_pallas_tiled_evaporation_branch_bit_exact(f32_state_small):
             )
 
 
+def test_pallas_nl_fused_saturation_tiled_bit_exact(f32_state_small):
+    """fuse_saturation + state_tiled (the round-5 bench NL chain's exact
+    configuration — the fused form FLIPPED from its global-layout negative
+    to +5-12% under tiled storage): outputs bitwise equal to the unfused
+    tiled kernel, including the in-kernel qsat diagnostic (the wrapper
+    keeps the saturation division bit-identical)."""
+    from cloudsc2_tpu.pallas.levelscan import tile_state, untile_field
+
+    s, dt, c = f32_state_small
+    st = tile_state(s, 128)
+    ref = cloudsc2_nl_pallas(
+        st, dt, c, interpret=True, tile_layout=True, state_tiled=True
+    )
+    got = cloudsc2_nl_pallas(
+        st, dt, c, interpret=True, tile_layout=True, state_tiled=True,
+        fuse_saturation=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(untile_field(got[1]["qsat"])), np.asarray(s["qsat"]),
+        err_msg="in-kernel qsat",
+    )
+    for r_d, g_d in zip(ref, got):
+        for n in r_d:
+            np.testing.assert_array_equal(
+                np.asarray(g_d[n]), np.asarray(r_d[n]), err_msg=n
+            )
+
+
 def test_pack_inputs_mixed_dtype_rejected():
     """pack_inputs groups must be dtype-uniform (ADVICE r4): jnp.stack on
     mixed dtypes would silently promote the packed stream instead of
