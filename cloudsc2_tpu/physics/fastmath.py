@@ -49,8 +49,19 @@ DIV_MODES = ("exact", "faithful", "approx")
 
 
 def rcp(x: jnp.ndarray, mode: str = "exact") -> jnp.ndarray:
-    """1/x under the given divide strategy (see :data:`DIV_MODES`)."""
-    if mode == "exact" or x.dtype != jnp.float32:
+    """1/x under the given divide strategy (see :data:`DIV_MODES`).
+
+    Sub-2-D operands always use exact division: the Mosaic lowering of
+    ``pl.reciprocal`` requires a vector type (a scalar operand crashes
+    with ``F32Type ... has no element_type`` — hit by the TL/AD bodies'
+    hoisted per-level scalars), and an approximate reciprocal of a
+    loop-hoisted scalar saves nothing anyway.
+    """
+    if (
+        mode == "exact"
+        or x.dtype != jnp.float32
+        or getattr(x, "ndim", 0) < 2
+    ):
         return 1.0 / x
     r = pl.reciprocal(x, approx=True)
     if mode == "faithful":
