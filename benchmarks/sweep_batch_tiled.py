@@ -64,10 +64,10 @@ def chain(st0, n, scheme, dt):
         st = dict(st)
         eps = jnp.asarray(1e-30, st["t"].dtype)
         if scheme == "nl":
-            s2 = dict(st)
-            s2["qsat"] = saturation(s2["ap"], s2["t"], kflag=1, lphylin=True, c=c)
+            # fused in-kernel saturation: the round-5 bench default
             tends, _d = cloudsc2_nl_pallas(
-                s2, dt, c, tile_layout=True, state_tiled=True
+                st, dt, c, tile_layout=True, state_tiled=True,
+                fuse_saturation=True,
             )
             st["t"] = st["t"] + eps * tends["t"]
         elif scheme == "tl":
