@@ -29,7 +29,7 @@ from cloudsc2_tpu.physics.saturation import saturation
 from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
 from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
-from cloudsc2_tpu.pallas.levelscan import tile_field
+from cloudsc2_tpu.pallas.levelscan import tile_state
 
 NLEV = 137
 WB = 512
@@ -55,7 +55,7 @@ def build(ncols, scheme):
             st["tnd_" + n + "_i"] = tt[n + "_i"]
         for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
             st[n + "_i"] = dd[n + "_i"]
-    return {k: (tile_field(v, WB) if v.ndim == 2 else v) for k, v in st.items()}, dt
+    return tile_state(st, WB), dt
 
 
 @partial(jax.jit, static_argnames=("n", "scheme", "dt"))

@@ -87,15 +87,12 @@ def fetch(x):
 SIZES = [int(a) for a in sys.argv[1:]] or [16]
 SAMPLES = int(os.environ.get("SWEEP_SAMPLES", "5"))
 
-from cloudsc2_tpu.pallas.levelscan import tile_field
+from cloudsc2_tpu.pallas.levelscan import tile_state
 
 for lg in SIZES:
     ncols = 1 << lg
     state, dt = build_state(ncols)
-    state_t = {
-        k: (tile_field(v, 512) if v.ndim == 2 else v)
-        for k, v in state.items()
-    }
+    state_t = tile_state(state, 512)
     runners = {
         "global": lambda n: chain(state, n, dt, False),
         "relayout": lambda n: chain(state, n, dt, True),

@@ -22,7 +22,7 @@ from cloudsc2_tpu import iox, make_constants
 from cloudsc2_tpu.physics.diagnostics import eta_levels
 from cloudsc2_tpu.physics.saturation import saturation
 from cloudsc2_tpu.pallas.nonlinear import cloudsc2_nl_pallas
-from cloudsc2_tpu.pallas.levelscan import tile_field
+from cloudsc2_tpu.pallas.levelscan import tile_state
 
 NCOLS = 1 << 16
 NLEV = 137
@@ -62,10 +62,7 @@ TILED = {}
 
 def state_for(wb):
     if wb not in TILED:
-        TILED[wb] = {
-            k: (tile_field(v, wb) if v.ndim == 2 else v)
-            for k, v in state.items()
-        }
+        TILED[wb] = tile_state(state, wb)
     return TILED[wb]
 
 

@@ -60,12 +60,9 @@ for n in DIAG_NAMES:
 state = {k: jax.device_put(v) for k, v in state.items()}
 
 # tiled-native variants (round 5): the chain state lives tiled
-from cloudsc2_tpu.pallas.levelscan import tile_field
+from cloudsc2_tpu.pallas.levelscan import tile_state
 
-state_t = {
-    k: (tile_field(v, 512) if getattr(v, "ndim", 0) == 2 else v)
-    for k, v in state.items()
-}
+state_t = tile_state(state, 512)
 
 SCHEMES = {
     ("nl", "scan"): lambda st: cloudsc2_nl(st, dt, c),

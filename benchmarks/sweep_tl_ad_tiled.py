@@ -26,7 +26,7 @@ from cloudsc2_tpu.physics.increment import state_increment
 from cloudsc2_tpu.physics.saturation import saturation
 from cloudsc2_tpu.pallas.tangent_linear import cloudsc2_tl_pallas
 from cloudsc2_tpu.pallas.adjoint import cloudsc2_ad_pallas
-from cloudsc2_tpu.pallas.levelscan import tile_field
+from cloudsc2_tpu.pallas.levelscan import tile_state
 
 NCOLS = 1 << 16
 NLEV = 137
@@ -53,8 +53,8 @@ for n in ("t", "q", "ql", "qi"):
 for n in ("clc", "covptot", "fhpsl", "fhpsn", "fplsl", "fplsn"):
     s_ad[n + "_i"] = dd[n + "_i"]
 
-state_t = {k: (tile_field(v, WB) if v.ndim == 2 else v) for k, v in state.items()}
-s_ad_t = {k: (tile_field(v, WB) if v.ndim == 2 else v) for k, v in s_ad.items()}
+state_t = tile_state(state, WB)
+s_ad_t = tile_state(s_ad, WB)
 
 
 @partial(jax.jit, static_argnames=("n", "kb", "tiled", "t_only"))
@@ -127,11 +127,7 @@ for a in ARGS:
             parts = [int(x) for x in spec.split(",")]
             kb = parts[0]
             twb = parts[1] if len(parts) > 1 else WB
-            st_v = (
-                state_t if twb == WB
-                else {k: (tile_field(v, twb) if v.ndim == 2 else v)
-                      for k, v in state.items()}
-            )
+            st_v = state_t if twb == WB else tile_state(state, twb)
             RUNNERS[a] = lambda n, kb=kb, to=t_only, st=st_v: chain_tl(
                 st, n, kb, True, to
             )
@@ -139,11 +135,7 @@ for a in ARGS:
         parts = [int(x) for x in spec.split(",")]
         kb = parts[0]
         fwb = parts[1] if len(parts) > 1 else WB
-        st_f = (
-            s_ad_t if fwb == WB
-            else {k: (tile_field(v, fwb) if v.ndim == 2 else v)
-                  for k, v in s_ad.items()}
-        )
+        st_f = s_ad_t if fwb == WB else tile_state(s_ad, fwb)
         RUNNERS[a] = lambda n, kb=kb, r=scheme == "adfr", st=st_f: (
             chain_ad_fused(st, n, kb, r)
         )
