@@ -133,5 +133,5 @@ for a, scheme, ncols, longn, shortn, st, dt in live:
     med = pos[len(pos) // 2]
     print(json.dumps({
         "cfg": a, "ncols": ncols, "per_step_ms": round(med * 1e3, 3),
-        "cols_per_sec": round(ncols / med),
+        "cols_per_sec": None if med != med else round(ncols / med),
     }), flush=True)

@@ -126,5 +126,5 @@ for lg in SIZES:
         med = pos[len(pos) // 2]
         print(json.dumps({
             "ncols": ncols, "variant": name, "per_step_ms": round(med * 1e3, 3),
-            "cols_per_sec": round(ncols / med),
+            "cols_per_sec": None if med != med else round(ncols / med),
         }), flush=True)

@@ -129,5 +129,5 @@ for cfg in live:
     med = pos[len(pos) // 2]
     print(json.dumps({
         "cfg": cfg, "per_step_ms": round(med * 1e3, 3),
-        "cols_per_sec": round(NCOLS / med),
+        "cols_per_sec": None if med != med else round(NCOLS / med),
     }), flush=True)

@@ -180,5 +180,5 @@ for name in live:
     med = pos[len(pos) // 2]
     print(json.dumps({
         "cfg": name, "per_step_ms": round(med * 1e3, 3),
-        "cols_per_sec": round(NCOLS / med),
+        "cols_per_sec": None if med != med else round(NCOLS / med),
     }), flush=True)
